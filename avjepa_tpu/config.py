@@ -1,0 +1,204 @@
+"""Typed, validated experiment configuration.
+
+Consumes the same YAML schema as the reference
+(reference: configs/pretrain/av-vitt16.yaml; parsed ad hoc into ~40 locals at
+app/avjepa/train.py:68-159) but into dataclasses with defaults and validation.
+Extra TPU-only knobs live under the ``tpu:`` section (mesh shape, remat,
+attention impl) and default sensibly when absent, so reference configs load
+unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import yaml
+
+from avjepa_tpu.layout import TokenLayout
+
+
+@dataclasses.dataclass
+class DataConfig:
+    dataset_type: str = "audiovideodataset"
+    datasets: Sequence[str] = ()
+    batch_size: int = 24
+    num_clips: int = 1
+    num_frames: int = 16
+    tubelet_size: int = 2
+    sampling_rate: int = 4
+    crop_size: int = 224
+    patch_size: int = 16
+    num_workers: int = 4
+    pin_mem: bool = True
+    decode_one_clip: bool = True
+    filter_short_videos: bool = False
+    clip_duration: Optional[float] = None
+    datasets_weights: Optional[Sequence[float]] = None
+    # TPU build extension: 'synthetic' generates deterministic fake AV clips
+    # (for tests/benches without media files).
+    source: str = "files"
+
+
+@dataclasses.dataclass
+class DataAugConfig:
+    auto_augment: bool = False
+    motion_shift: bool = False
+    random_resize_aspect_ratio: Sequence[float] = (0.75, 1.35)
+    random_resize_scale: Sequence[float] = (0.3, 1.0)
+    reprob: float = 0.0
+    horizontal_flip: bool = True
+
+
+@dataclasses.dataclass
+class LossConfig:
+    loss_exp: float = 1.0
+    reg_coeff: float = 0.0
+
+
+@dataclasses.dataclass
+class MetaConfig:
+    seed: int = 234
+    dtype: str = "bfloat16"
+    load_checkpoint: bool = False
+    read_checkpoint: Optional[str] = None
+    eval_freq: int = 100
+    use_sdpa: bool = True  # accepted for config parity; attention impl is tpu.attn_impl
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    model_name: str = "vit_base"
+    pred_depth: int = 6
+    pred_embed_dim: int = 384
+    uniform_power: bool = False
+    use_mask_tokens: bool = True
+    zero_init_mask_tokens: bool = True
+
+
+@dataclasses.dataclass
+class OptimizationConfig:
+    ipe: int = 300
+    ipe_scale: float = 1.25
+    clip_grad: Optional[float] = 10.0
+    weight_decay: float = 0.04
+    final_weight_decay: float = 0.4
+    epochs: int = 300
+    warmup: float = 40
+    start_lr: float = 2e-4
+    lr: float = 6.25e-4
+    final_lr: float = 1e-6
+    ema: Sequence[float] = (0.998, 1.0)
+
+
+@dataclasses.dataclass
+class LoggingConfig:
+    folder: str = "./logs"
+    write_tag: str = "jepa"
+    checkpoint_freq: int = 1
+    save_every_freq: int = -1
+    log_freq: int = 10
+
+
+@dataclasses.dataclass
+class TpuConfig:
+    """TPU-native extensions (absent from reference configs; defaulted)."""
+
+    mesh_data: int = -1  # -1: all remaining devices
+    mesh_fsdp: int = 1
+    mesh_tensor: int = 1
+    remat: bool = False
+    attn_impl: str = "xla"  # 'xla' | 'flash'
+    mask_type: str = "multiblock3d"
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    app: str = "avjepa"
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    data_aug: DataAugConfig = dataclasses.field(default_factory=DataAugConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    meta: MetaConfig = dataclasses.field(default_factory=MetaConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    optimization: OptimizationConfig = dataclasses.field(default_factory=OptimizationConfig)
+    logging: LoggingConfig = dataclasses.field(default_factory=LoggingConfig)
+    tpu: TpuConfig = dataclasses.field(default_factory=TpuConfig)
+    mask: Sequence[dict] = dataclasses.field(default_factory=list)
+    raw: dict = dataclasses.field(default_factory=dict, repr=False)
+
+    # ---- derived ----
+    def layout(self, audio: Optional[bool] = None) -> TokenLayout:
+        if audio is None:
+            audio = self.data.dataset_type.lower() in (
+                "audiovideodataset",
+                "avdataset",
+            )
+        return TokenLayout(
+            num_frames=self.data.num_frames,
+            crop_size=self.data.crop_size,
+            patch_size=self.data.patch_size,
+            tubelet_size=self.data.tubelet_size,
+            audio_enabled=audio,
+        )
+
+    def validate(self) -> None:
+        lo = self.layout()
+        assert lo.crop_size % lo.patch_size == 0, "crop_size % patch_size != 0"
+        assert lo.num_frames % lo.tubelet_size == 0, "num_frames % tubelet != 0"
+        from avjepa_tpu.models.factory import VIT_SPECS
+
+        assert self.model.model_name in VIT_SPECS, (
+            f"unknown model {self.model.model_name}; options: {list(VIT_SPECS)}"
+        )
+        assert self.meta.dtype in ("float32", "bfloat16", "float16")
+        assert len(self.optimization.ema) == 2
+        if self.app in ("avjepa", "vjepa"):
+            assert len(self.mask) >= 1, "pretraining requires >=1 mask config"
+
+
+def _build(cls, d: dict):
+    if d is None:
+        d = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in d.items():
+        if k in fields:
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+def load_config(source: str | dict) -> ExperimentConfig:
+    """Load from a YAML path, YAML string, or dict (reference key schema)."""
+    if isinstance(source, dict):
+        d = source
+    else:
+        try:
+            with open(source) as f:
+                d = yaml.safe_load(f)
+        except (OSError, ValueError):
+            d = yaml.safe_load(source)
+    assert isinstance(d, dict), "config must be a mapping"
+
+    opt = dict(d.get("optimization") or {})
+
+    cfg = ExperimentConfig(
+        app=d.get("app", "avjepa"),
+        data=_build(DataConfig, d.get("data")),
+        data_aug=_build(DataAugConfig, d.get("data_aug")),
+        loss=_build(LossConfig, d.get("loss")),
+        meta=_build(MetaConfig, d.get("meta")),
+        model=_build(ModelConfig, d.get("model")),
+        optimization=_build(OptimizationConfig, opt),
+        logging=_build(LoggingConfig, d.get("logging")),
+        tpu=_build(TpuConfig, d.get("tpu")),
+        mask=list(d.get("mask") or []),
+        raw=d,
+    )
+    cfg.validate()
+    return cfg
+
+
+def dump_config(cfg: ExperimentConfig, path: str) -> None:
+    """Dump the effective config next to the logs (reference: app/main.py:51-53)."""
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg.raw or dataclasses.asdict(cfg), f)

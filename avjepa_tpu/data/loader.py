@@ -1,0 +1,147 @@
+"""Host-side batch pipeline: per-host sharded sampling, threaded decode
+workers, mask collation, and prefetch to device.
+
+Replaces the reference's torch DataLoader + DistributedSampler + collate_fn
+stack (reference: src/datasets/audiovideo_dataset.py:53-89). Decode work runs
+in a thread pool (the C++ decoder and numpy release the GIL); assembled batches
+are prefetched into a bounded queue so host ingest overlaps device step time —
+the reference's main data-path bottleneck (SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+from avjepa_tpu.masks.multiblock3d import MaskSet
+
+
+class ShardedSampler:
+    """Epoch-shuffled, per-host sharded index sampler (DistributedSampler
+    semantics: equal shards, wrap-around padding, set_epoch reshuffle)."""
+
+    def __init__(
+        self,
+        dataset_len: int,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_shards: Optional[int] = None,
+        shard_index: Optional[int] = None,
+        drop_last: bool = True,
+        weights: Optional[np.ndarray] = None,
+    ):
+        self.dataset_len = dataset_len
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_shards = num_shards if num_shards is not None else jax.process_count()
+        self.shard_index = (
+            shard_index if shard_index is not None else jax.process_index()
+        )
+        self.drop_last = drop_last
+        self.weights = weights
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        rng = np.random.default_rng([self.seed, self.epoch])
+        if self.weights is not None:
+            w = np.asarray(self.weights, np.float64)
+            order = rng.choice(self.dataset_len, size=self.dataset_len, p=w / w.sum())
+        elif self.shuffle:
+            order = rng.permutation(self.dataset_len)
+        else:
+            order = np.arange(self.dataset_len)
+        # pad to a multiple of shards (DistributedSampler wrap-around)
+        total = int(np.ceil(self.dataset_len / self.num_shards)) * self.num_shards
+        if total > len(order):
+            order = np.concatenate([order, order[: total - len(order)]])
+        shard = order[self.shard_index :: self.num_shards]
+        nb = len(shard) // self.batch_size
+        for i in range(nb):
+            yield shard[i * self.batch_size : (i + 1) * self.batch_size]
+
+
+class JepaLoader:
+    """Iterates (video, audio, masksets) batches with background prefetch.
+
+    dataset[i] must return (video [T,H,W,3] f32, audio [Hs,Ws] f32 or None,
+    label). The mask collator is stepped once per *global* batch, mirroring the
+    reference's shared-counter discipline so all hosts produce the same block
+    sizes.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        sampler: ShardedSampler,
+        mask_collator=None,
+        num_workers: int = 4,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.mask_collator = mask_collator
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.sampler.set_epoch(epoch)
+
+    def _fetch(self, idx: int):
+        # retry-resample loop on decode failure
+        # (reference: src/datasets/audiovideo_dataset.py:163-170)
+        for attempt in range(10):
+            try:
+                return self.dataset[int(idx)]
+            except Exception:
+                idx = np.random.default_rng([int(idx), attempt]).integers(
+                    0, len(self.dataset)
+                )
+        raise RuntimeError("persistent decode failure")
+
+    def _assemble(self, indices: np.ndarray):
+        samples = list(self._pool.map(self._fetch, indices))
+        video = np.stack([s[0] for s in samples])
+        audio = None
+        if samples[0][1] is not None:
+            audio = np.stack([s[1] for s in samples])[..., None]  # [B,Hs,Ws,1]
+        labels = np.asarray([s[2] for s in samples])
+        masks: Sequence[MaskSet] = ()
+        if self.mask_collator is not None:
+            masks = self.mask_collator(len(indices))
+        return video, audio, labels, masks
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for indices in self.sampler:
+                    if stop.is_set():
+                        return
+                    q.put(self._assemble(indices))
+            finally:
+                q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,193 @@
+"""The unified encoder: one class covers the reference's AudioVisionTransformer,
+VisionTransformer (video-only), and image ViT
+(reference: src/models/audiovision_transformer.py:25-371,
+src/models/vision_transformer.py).
+
+Masking is dense: ``key_mask`` is a ``[B, N]`` bool of tokens the encoder may
+attend to; tokens outside the mask are excluded from every softmax, which is
+mathematically identical to the reference's token removal (LN and MLP are
+per-token) while keeping all shapes static for XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from avjepa_tpu.layout import TokenLayout
+from avjepa_tpu.models import pos_embed as pe
+from avjepa_tpu.models.modules import Block
+from avjepa_tpu.models.patch_embed import (
+    AudioPatchEmbed,
+    ImagePatchEmbed,
+    VideoPatchEmbed3D,
+)
+
+
+class _ScanBlock(Block):
+    """Block with a scan-compatible (carry, output) signature."""
+
+    @nn.compact
+    def __call__(self, x, key_mask=None):  # type: ignore[override]
+        return super().__call__(x, key_mask=key_mask), None
+
+
+class BlockStack(nn.Module):
+    """Depth-stacked transformer blocks via nn.scan (fast compiles, remat-able).
+
+    Params are stacked along a leading depth axis — this is the TPU-idiomatic
+    layout (one compiled block body, XLA loops over layers), unlike the
+    reference's ModuleList of distinct layers.
+    """
+
+    depth: int
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+    remat: bool = False
+    ln_eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, key_mask=None):
+        block_cls = _ScanBlock
+        if self.remat:
+            block_cls = nn.remat(_ScanBlock, prevent_cse=False)
+        scanned = nn.scan(
+            block_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=nn.broadcast,
+            length=self.depth,
+        )(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            ln_eps=self.ln_eps,
+            name="layers",
+        )
+        x, _ = scanned(x, key_mask)
+        return x
+
+
+class Encoder(nn.Module):
+    """JEPA encoder over a (video, audio) token sequence.
+
+    Modes (by layout):
+      - AV:          video tokens + audio tokens        (avjepa app)
+      - video-only:  layout.audio_enabled = False        (vjepa app, video evals)
+      - image:       layout.num_frames == 1              (image evals)
+    """
+
+    layout: TokenLayout
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    uniform_power: bool = False
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+    remat: bool = False
+    ln_eps: float = 1e-6
+
+    def _video_pos_embed(self) -> np.ndarray:
+        lo = self.layout
+        if lo.num_frames > 1:
+            return pe.sincos_3d(
+                self.embed_dim, lo.h_grid, lo.t_grid, uniform_power=self.uniform_power
+            )
+        return pe.sincos_2d(self.embed_dim, lo.h_grid)
+
+    def _audio_pos_embed(self) -> np.ndarray:
+        lo = self.layout
+        return pe.sincos_2d_rect(self.embed_dim, lo.ha_grid, lo.wa_grid)
+
+    @nn.compact
+    def __call__(
+        self,
+        video: jnp.ndarray,
+        audio: Optional[jnp.ndarray] = None,
+        key_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """video: [B, T, H, W, 3] (or [B, H, W, C] image); audio: [B, Hs, Ws, 1].
+
+        key_mask: [B, N] bool over the combined token sequence, or None (all
+        tokens valid — the target-encoder path).
+        Returns [B, N, D] with invalid positions containing finite garbage that
+        callers must mask out.
+        """
+        lo = self.layout
+        is_video = lo.num_frames > 1
+
+        if is_video:
+            tokens_v = VideoPatchEmbed3D(
+                embed_dim=self.embed_dim,
+                patch_size=lo.patch_size,
+                tubelet_size=lo.tubelet_size,
+                dtype=self.dtype,
+                name="patch_embed_v",
+            )(video)
+        else:
+            tokens_v = ImagePatchEmbed(
+                embed_dim=self.embed_dim,
+                patch_size=lo.patch_size,
+                dtype=self.dtype,
+                name="patch_embed_v",
+            )(video)
+
+        vpe = jnp.asarray(self._video_pos_embed(), dtype=self.dtype)
+        if tokens_v.shape[1] != vpe.shape[0]:
+            # off-native resolution: trilinear/bicubic pos-embed interpolation
+            # (reference: audiovision_transformer.py:241-290)
+            t_in = video.shape[1] // lo.tubelet_size if is_video else 1
+            h_in = video.shape[2 if is_video else 1] // lo.patch_size
+            w_in = video.shape[3 if is_video else 2] // lo.patch_size
+            if is_video:
+                vpe = pe.interpolate_video_pos_embed(
+                    vpe, (lo.t_grid, lo.h_grid, lo.w_grid), (t_in, h_in, w_in)
+                )
+            else:
+                vpe = pe.interpolate_image_pos_embed(
+                    vpe, (lo.h_grid, lo.w_grid), (h_in, w_in)
+                )
+        tokens_v = tokens_v + vpe[None]
+
+        if lo.audio_enabled:
+            assert audio is not None, "layout has audio enabled but no audio given"
+            tokens_a = AudioPatchEmbed(
+                embed_dim=self.embed_dim,
+                patch_size=lo.patch_size,
+                dtype=self.dtype,
+                name="patch_embed_a",
+            )(audio)
+            ape = jnp.asarray(self._audio_pos_embed(), dtype=self.dtype)
+            tokens_a = tokens_a + ape[None]
+            x = jnp.concatenate([tokens_v, tokens_a], axis=1)
+        else:
+            x = tokens_v
+
+        x = BlockStack(
+            depth=self.depth,
+            dim=self.embed_dim,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            remat=self.remat,
+            ln_eps=self.ln_eps,
+            name="blocks",
+        )(x, key_mask=key_mask)
+
+        x = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm")(x)
+        return x

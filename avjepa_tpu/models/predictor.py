@@ -1,0 +1,123 @@
+"""The narrow JEPA predictor (dense-mask formulation).
+
+Covers the reference's AudioVisionTransformerPredictor and the video-only
+VisionTransformerPredictor (reference: src/models/audiovisionpredictor.py:18-308,
+src/models/predictor.py:176-246).
+
+Dense formulation: the predictor runs over the *full* token raster. Each
+position is either
+  - a context token (encoder output projected to predictor width),
+  - a prediction target (learnable per-mask-config mask token), or
+  - invalid (excluded from attention; possible because the collator's
+    min-keep truncation drops indices — reference: src/masks/avmultiblock3d.py:222-232).
+Positional embeddings are added to every position. Attention uses the
+enc|pred validity key-mask, so valid outputs equal the reference's compacted
+[ctx_v, pred_v, ctx_a, pred_a] sequence (attention is permutation-equivariant
+and the reference's Block ignores its mask argument — masking there is by
+token removal).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from avjepa_tpu.layout import TokenLayout
+from avjepa_tpu.models import pos_embed as pe
+from avjepa_tpu.models.encoder import BlockStack
+from avjepa_tpu.models.modules import clipped_normal_init
+
+
+class Predictor(nn.Module):
+    layout: TokenLayout
+    embed_dim: int = 768  # encoder width
+    predictor_embed_dim: int = 384
+    depth: int = 6
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    uniform_power: bool = False
+    use_mask_tokens: bool = True
+    num_mask_tokens: int = 2
+    zero_init_mask_tokens: bool = True
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+    remat: bool = False
+    ln_eps: float = 1e-6
+
+    @nn.compact
+    def __call__(
+        self,
+        ctx: jnp.ndarray,
+        enc_mask: jnp.ndarray,
+        pred_mask: jnp.ndarray,
+        mask_index: int = 0,
+    ) -> jnp.ndarray:
+        """ctx: [B, N, D] dense encoder output; enc_mask/pred_mask: [B, N] bool.
+
+        Returns [B, N, D] dense predictions (valid only at pred_mask positions).
+        """
+        lo = self.layout
+        nv = lo.num_video_tokens
+        dp = self.predictor_embed_dim
+
+        mt_init = (
+            nn.initializers.zeros if self.zero_init_mask_tokens else clipped_normal_init()
+        )
+
+        # --- video stream ---
+        x_v = nn.Dense(
+            dp, dtype=self.dtype, kernel_init=clipped_normal_init(), name="embed_v"
+        )(ctx[:, :nv])
+        if self.use_mask_tokens:
+            mask_tokens_v = self.param(
+                "mask_tokens_v", mt_init, (self.num_mask_tokens, dp), jnp.float32
+            )
+            mtv = mask_tokens_v[mask_index % self.num_mask_tokens].astype(self.dtype)
+            x_v = jnp.where(pred_mask[:, :nv, None], mtv[None, None, :], x_v)
+        vpe = (
+            pe.sincos_3d(dp, lo.h_grid, lo.t_grid, uniform_power=self.uniform_power)
+            if lo.num_frames > 1
+            else pe.sincos_2d(dp, lo.h_grid)
+        )
+        x_v = x_v + jnp.asarray(vpe, dtype=self.dtype)[None]
+
+        # --- audio stream ---
+        if lo.audio_enabled:
+            x_a = nn.Dense(
+                dp, dtype=self.dtype, kernel_init=clipped_normal_init(), name="embed_a"
+            )(ctx[:, nv:])
+            if self.use_mask_tokens:
+                mask_tokens_a = self.param(
+                    "mask_tokens_a", mt_init, (self.num_mask_tokens, dp), jnp.float32
+                )
+                mta = mask_tokens_a[mask_index % self.num_mask_tokens].astype(self.dtype)
+                x_a = jnp.where(pred_mask[:, nv:, None], mta[None, None, :], x_a)
+            ape = pe.sincos_2d_rect(dp, lo.ha_grid, lo.wa_grid)
+            x_a = x_a + jnp.asarray(ape, dtype=self.dtype)[None]
+            x = jnp.concatenate([x_v, x_a], axis=1)
+        else:
+            x = x_v
+
+        key_mask = jnp.logical_or(enc_mask, pred_mask)
+
+        x = BlockStack(
+            depth=self.depth,
+            dim=dp,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            remat=self.remat,
+            ln_eps=self.ln_eps,
+            name="blocks",
+        )(x, key_mask=key_mask)
+
+        x = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(
+            self.embed_dim, dtype=self.dtype, kernel_init=clipped_normal_init(), name="proj"
+        )(x)
+        return x

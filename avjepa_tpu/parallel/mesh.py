@@ -1,0 +1,145 @@
+"""Device mesh and sharding rules.
+
+TPU-native replacement for the reference's NCCL layer
+(reference: src/utils/distributed.py:18-113 — init_process_group + 3 autograd
+collectives). Here there is no hand-written collective code at all: we build a
+`jax.sharding.Mesh` with axes
+
+    ('data', 'fsdp', 'tensor')
+
+annotate the batch and parameters with NamedShardings, and let XLA insert the
+ICI all-reduces/all-gathers. The loss is a mean over the *global* batch, so
+gradient averaging falls out of jit+sharding automatically (the reference fork
+notably never all-reduced pretraining gradients — DataParallel-per-process,
+see its app/avjepa/train.py:298-300; we implement true DP).
+
+- 'data'  : batch dimension (pure DP)
+- 'fsdp'  : parameter sharding (ZeRO-3 style, XLA all-gathers weights per-layer)
+- 'tensor': intra-layer model parallelism (qkv/mlp features)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed() -> None:
+    """Multi-host init (no-op on single host). Reference used SLURM env +
+    NCCL rendezvous; jax.distributed discovers TPU topology natively."""
+    if int(os.environ.get("AVJEPA_MULTIHOST", "0")):
+        jax.distributed.initialize()
+
+
+def make_mesh(
+    data: int = -1,
+    fsdp: int = 1,
+    tensor: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        data = n // (fsdp * tensor)
+    assert data * fsdp * tensor == n, (
+        f"mesh {data}x{fsdp}x{tensor} != {n} devices"
+    )
+    arr = np.asarray(devices).reshape(data, fsdp, tensor)
+    return Mesh(arr, axis_names=("data", "fsdp", "tensor"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch dim sharded over data (and fsdp, which acts as extra DP for
+    activations in ZeRO style)."""
+    return NamedSharding(mesh, P(("data", "fsdp")))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _param_spec(path: tuple, x: Any, tensor_axis: bool, fsdp_axis: bool) -> P:
+    """Sharding rule for one parameter.
+
+    Tensor parallelism: qkv/fc1 kernels shard their output features, proj/fc2
+    shard input features (Megatron layout -> one psum per block, over ICI).
+    FSDP: remaining large axes shard over 'fsdp'.
+    """
+    names = [str(getattr(k, "key", k)) for k in path]
+    name = "/".join(names)
+    ndim = x.ndim
+    spec: list = [None] * ndim
+
+    def dims_divisible(d, axis_size):
+        return x.shape[d] % axis_size > -1  # placeholder, validated at use
+
+    if tensor_axis and ndim >= 2:
+        # depth-stacked kernels: [L, in, out]; plain kernels: [in, out]
+        if any(s in name for s in ("qkv/kernel", "fc1/kernel", "q/kernel", "kv/kernel")):
+            spec[ndim - 1] = "tensor"
+        elif any(s in name for s in ("proj/kernel", "fc2/kernel")) and "patch_embed" not in name:
+            spec[ndim - 2] = "tensor"
+    if fsdp_axis and ndim >= 2:
+        # shard the largest remaining dim over fsdp
+        free = [d for d in range(ndim) if spec[d] is None]
+        if free:
+            d = max(free, key=lambda i: x.shape[i])
+            spec[d] = "fsdp"
+    return P(*spec)
+
+
+def param_shardings(
+    mesh: Mesh, params: Any, tensor_parallel: bool = None, fsdp: bool = None
+) -> Any:
+    """NamedSharding pytree for a param (or param-shaped, e.g. opt moment) tree."""
+    if tensor_parallel is None:
+        tensor_parallel = mesh.shape["tensor"] > 1
+    if fsdp is None:
+        fsdp = mesh.shape["fsdp"] > 1
+
+    def to_sharding(path, x):
+        spec = _param_spec(path, x, tensor_parallel, fsdp)
+        # drop axes that do not divide evenly (fall back to replication there)
+        fixed = []
+        for d, ax in enumerate(spec):
+            if ax is None:
+                fixed.append(None)
+            elif x.shape[d] % mesh.shape[ax] == 0:
+                fixed.append(ax)
+            else:
+                fixed.append(None)
+        return NamedSharding(mesh, P(*fixed))
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def state_shardings(mesh: Mesh, state: Any) -> Any:
+    """Shardings for a JepaState: params/opt trees sharded, scalars replicated."""
+
+    def rule(path, x):
+        names = [str(getattr(k, "key", k)) for k in path]
+        if x.ndim == 0:
+            return replicated(mesh)
+        # strip the leading field name (enc_params / enc_opt / ...) for rules
+        spec = _param_spec(
+            tuple(names[1:]) or tuple(names),
+            x,
+            mesh.shape["tensor"] > 1,
+            mesh.shape["fsdp"] > 1,
+        )
+        fixed = []
+        for d, ax in enumerate(spec):
+            if ax is not None and x.shape[d] % mesh.shape[ax] == 0:
+                fixed.append(ax)
+            else:
+                fixed.append(None)
+        return NamedSharding(mesh, P(*fixed))
+
+    import jax.tree_util as jtu
+
+    return jtu.tree_map_with_path(lambda p, x: rule(p, x), state)

@@ -1,0 +1,298 @@
+"""JEPA pretraining runner — the avjepa / vjepa apps.
+
+One loop serves both modalities (the reference carries two 600-line
+near-identical train.py files; reference: app/avjepa/train.py, app/vjepa/train.py
+— the latter abandoned mid-debug with print(1/0) crash lines at :487,:503,
+which we obviously do not reproduce).
+
+Loop shape mirrors the reference: epochs x iterations-per-epoch over a
+(re-initialized-on-exhaustion) loader, per-iteration mask sampling via the
+stepped collator, CSV + console metrics, per-epoch checkpoints. All device
+work is one jitted train step over the mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from avjepa_tpu.config import ExperimentConfig
+from avjepa_tpu.data.loader import JepaLoader, ShardedSampler
+from avjepa_tpu.data.synthetic import SyntheticAVDataset
+from avjepa_tpu.masks.multiblock3d import make_mask_collator
+from avjepa_tpu.models import (
+    count_parameters,
+    init_encoder_params,
+    init_predictor_params,
+    make_encoder,
+    make_predictor,
+)
+from avjepa_tpu.parallel.mesh import make_mesh, state_shardings
+from avjepa_tpu.train.optim import ScheduleConfig
+from avjepa_tpu.train.state import JepaState, init_state
+from avjepa_tpu.train.step import StepConfig, make_train_step, stack_masksets
+from avjepa_tpu.utils.checkpoint import CheckpointManager
+from avjepa_tpu.utils.logging import AverageMeter, CSVLogger, StepTimer, get_logger
+
+DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.bfloat16}
+
+
+def build_models(cfg: ExperimentConfig, layout):
+    dtype = DTYPES[cfg.meta.dtype]
+    encoder = make_encoder(
+        cfg.model.model_name,
+        layout,
+        uniform_power=cfg.model.uniform_power,
+        dtype=dtype,
+        attn_impl=cfg.tpu.attn_impl,
+        remat=cfg.tpu.remat,
+    )
+    predictor = make_predictor(
+        cfg.model.model_name,
+        layout,
+        pred_depth=cfg.model.pred_depth,
+        pred_embed_dim=cfg.model.pred_embed_dim,
+        uniform_power=cfg.model.uniform_power,
+        use_mask_tokens=cfg.model.use_mask_tokens,
+        num_mask_tokens=max(2, len(cfg.mask)),
+        zero_init_mask_tokens=cfg.model.zero_init_mask_tokens,
+        dtype=dtype,
+        attn_impl=cfg.tpu.attn_impl,
+        remat=cfg.tpu.remat,
+    )
+    return encoder, predictor
+
+
+def build_dataset(cfg: ExperimentConfig, layout):
+    if cfg.data.source == "synthetic" or not cfg.data.datasets:
+        return SyntheticAVDataset(layout, length=max(10_000, cfg.data.batch_size * 4))
+    from avjepa_tpu.data.av_dataset import AVFileDataset
+
+    return AVFileDataset(
+        csv_paths=list(cfg.data.datasets),
+        layout=layout,
+        frames_per_clip=cfg.data.num_frames,
+        frame_step=cfg.data.sampling_rate,
+        num_clips=cfg.data.num_clips,
+        random_clip_sampling=True,
+        filter_short_videos=cfg.data.filter_short_videos,
+        duration=cfg.data.clip_duration,
+        crop_size=cfg.data.crop_size,
+        random_resize_scale=tuple(cfg.data_aug.random_resize_scale),
+        random_resize_aspect_ratio=tuple(cfg.data_aug.random_resize_aspect_ratio),
+        motion_shift=cfg.data_aug.motion_shift,
+        horizontal_flip=cfg.data_aug.horizontal_flip,
+        reprob=cfg.data_aug.reprob,
+        auto_augment=cfg.data_aug.auto_augment,
+    )
+
+
+@dataclasses.dataclass
+class TrainHandles:
+    """Everything a driver needs to run/inspect training programmatically."""
+
+    cfg: ExperimentConfig
+    mesh: object
+    encoder: object
+    predictor: object
+    state: JepaState
+    step_fn: object
+    loader: JepaLoader
+    mask_collator: object
+
+
+def setup(cfg: ExperimentConfig, mesh=None) -> TrainHandles:
+    layout = cfg.layout()
+    if mesh is None:
+        mesh = make_mesh(cfg.tpu.mesh_data, cfg.tpu.mesh_fsdp, cfg.tpu.mesh_tensor)
+
+    encoder, predictor = build_models(cfg, layout)
+    key = jax.random.key(cfg.meta.seed)
+    ekey, pkey = jax.random.split(key)
+    enc_params = init_encoder_params(encoder, ekey)
+    pred_params = init_predictor_params(predictor, pkey)
+    state = init_state(enc_params, pred_params)
+
+    # place state on the mesh per sharding rules
+    sh = state_shardings(mesh, state)
+    state = jax.device_put(state, sh)
+
+    sched = ScheduleConfig(
+        ipe=cfg.optimization.ipe,
+        num_epochs=cfg.optimization.epochs,
+        ipe_scale=cfg.optimization.ipe_scale,
+        warmup_epochs=cfg.optimization.warmup,
+        start_lr=cfg.optimization.start_lr,
+        ref_lr=cfg.optimization.lr,
+        final_lr=cfg.optimization.final_lr,
+        ref_wd=cfg.optimization.weight_decay,
+        final_wd=cfg.optimization.final_weight_decay,
+        ema_start=cfg.optimization.ema[0],
+        ema_end=cfg.optimization.ema[1],
+    )
+    step_cfg = StepConfig(
+        loss_exp=cfg.loss.loss_exp,
+        reg_coeff=cfg.loss.reg_coeff,
+        clip_grad=cfg.optimization.clip_grad,
+        warmup_epochs=int(cfg.optimization.warmup),
+        ipe=cfg.optimization.ipe,
+    )
+    raw_step = make_train_step(encoder, predictor, sched, step_cfg)
+
+    batch_sh = NamedSharding(mesh, P(("data", "fsdp")))
+    mask_sh = NamedSharding(mesh, P(None, ("data", "fsdp")))
+    repl = NamedSharding(mesh, P())
+    step_fn = jax.jit(
+        raw_step,
+        in_shardings=(sh, batch_sh, batch_sh if layout.audio_enabled else None, mask_sh, mask_sh),
+        out_shardings=(sh, repl),
+        donate_argnums=(0,),
+    )
+
+    dataset = build_dataset(cfg, layout)
+    collator = make_mask_collator(
+        cfg.tpu.mask_type, cfg.mask, layout, base_seed=cfg.meta.seed
+    )
+    sampler = ShardedSampler(
+        dataset_len=len(dataset),
+        batch_size=cfg.data.batch_size,
+        shuffle=True,
+        seed=cfg.meta.seed,
+    )
+    loader = JepaLoader(
+        dataset, sampler, mask_collator=collator, num_workers=cfg.data.num_workers
+    )
+    return TrainHandles(
+        cfg=cfg,
+        mesh=mesh,
+        encoder=encoder,
+        predictor=predictor,
+        state=state,
+        step_fn=step_fn,
+        loader=loader,
+        mask_collator=collator,
+    )
+
+
+def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
+    """Full pretraining loop. Returns summary metrics."""
+    logger = get_logger(rank=jax.process_index())
+    handles = setup(cfg)
+    state = handles.state
+    layout = cfg.layout()
+
+    folder = cfg.logging.folder
+    os.makedirs(folder, exist_ok=True)
+    tag = cfg.logging.write_tag
+    csv_logger = CSVLogger(
+        os.path.join(folder, f"{tag}_r{jax.process_index()}.csv"),
+        ("%d", "epoch"),
+        ("%d", "itr"),
+        ("%.5f", "loss"),
+        ("%.5f", "loss-jepa"),
+        ("%.5f", "reg-loss"),
+        ("%.2e", "enc-grad-norm"),
+        ("%.2e", "pred-grad-norm"),
+        ("%.1f", "step-time-ms"),
+        ("%.1f", "iter-time-ms"),
+    )
+
+    ckpt = CheckpointManager(os.path.join(folder, f"{tag}-ckpt"))
+    restored = None
+    if cfg.meta.load_checkpoint:
+        restored = ckpt.restore(state)
+    if restored is not None:
+        state = jax.device_put(restored, state_shardings(handles.mesh, restored))
+        logger.info(f"resumed from step {int(jax.device_get(state.step))}")
+
+    start_step = int(jax.device_get(state.step))
+    ipe = cfg.optimization.ipe
+    start_epoch = start_step // ipe
+    # fast-forward the mask collator counter (reference: train.py:326-330)
+    handles.mask_collator.set_counter(start_step - 1)
+
+    logger.info(
+        f"encoder params: {count_parameters(jax.device_get(state.enc_params)):,} | "
+        f"predictor params: {count_parameters(jax.device_get(state.pred_params)):,}"
+    )
+
+    total = 0
+    summary = {}
+    loss_meter = AverageMeter()
+    data_iter = iter(handles.loader)
+    for epoch in range(start_epoch, cfg.optimization.epochs):
+        handles.loader.set_epoch(epoch)
+        loss_meter.reset()
+        time_meter = AverageMeter()
+        for itr in range(ipe):
+            t_iter = time.perf_counter()
+            try:
+                video, audio, _, masks = next(data_iter)
+            except StopIteration:
+                data_iter = iter(handles.loader)
+                video, audio, _, masks = next(data_iter)
+            enc_m, pred_m = stack_masksets(masks)
+            with StepTimer() as t:
+                state, metrics = handles.step_fn(
+                    state,
+                    jnp.asarray(video),
+                    jnp.asarray(audio) if audio is not None else None,
+                    jnp.asarray(enc_m),
+                    jnp.asarray(pred_m),
+                )
+                metrics = jax.device_get(metrics)
+            iter_ms = (time.perf_counter() - t_iter) * 1000
+            loss = float(metrics["loss"])
+            loss_meter.update(loss)
+            time_meter.update(t.elapsed_ms)
+            csv_logger.log(
+                epoch + 1, itr, loss, float(metrics["loss_jepa"]),
+                float(metrics["loss_reg"]), float(metrics["enc_grad_norm"]),
+                float(metrics["pred_grad_norm"]), t.elapsed_ms, iter_ms,
+            )
+            if itr % cfg.logging.log_freq == 0:
+                logger.info(
+                    f"[{epoch + 1}, {itr:5d}] loss: {loss_meter.avg:.3f} "
+                    f"| p{float(metrics['loss_jepa']):.3f} r{float(metrics['loss_reg']):.3f} "
+                    f"| input_var: {float(metrics['input_var']):.3f} "
+                    f"| masks: {np.array2string(metrics['mask_sizes'], precision=0)} "
+                    f"[wd: {float(metrics['wd']):.2e}] [lr: {float(metrics['lr']):.2e}] "
+                    f"[step: {time_meter.avg:.1f} ms]"
+                )
+            assert np.isfinite(loss), "loss is not finite"
+            total += 1
+            if max_steps is not None and total >= max_steps:
+                break
+        if jax.process_index() == 0 and (
+            epoch % cfg.logging.checkpoint_freq == 0
+            or epoch == cfg.optimization.epochs - 1
+            or (max_steps is not None and total >= max_steps)
+        ):
+            ckpt.save(int(jax.device_get(state.step)), jax.device_get(state))
+        summary = {
+            "epoch": epoch + 1,
+            "avg_loss": loss_meter.avg,
+            "avg_step_ms": time_meter.avg,
+        }
+        if max_steps is not None and total >= max_steps:
+            break
+    ckpt.close()
+    return summary
+
+
+def main(args: dict, resume_preempt: bool = False):
+    """Scaffold-compatible entry (reference: app/avjepa/train.py main)."""
+    from avjepa_tpu.config import load_config
+
+    cfg = load_config(args)
+    if resume_preempt:
+        cfg.meta.load_checkpoint = True
+    return run(cfg)

@@ -1,0 +1,198 @@
+"""The jitted JEPA train step: forward (target / context / predictor), masked
+L1 + variance regularizer, AdamW, grad clip, and the EMA target update — all
+fused into one XLA program (the reference drives EMA with a Python per-param
+loop and separate scheduler objects; reference: app/avjepa/train.py:435-537).
+
+Every schedule is a function of ``state.step``; masks are dense bools.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from avjepa_tpu.masks.multiblock3d import MaskSet
+from avjepa_tpu.models.encoder import Encoder
+from avjepa_tpu.models.predictor import Predictor
+from avjepa_tpu.train.optim import (
+    ScheduleConfig,
+    adamw_update,
+    clip_by_global_norm,
+    ema_at_step,
+    global_norm,
+    lr_at_step,
+    wd_at_step,
+    wd_mask,
+)
+from avjepa_tpu.train.state import JepaState
+from avjepa_tpu.utils.tensors import masked_mean, masked_var
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    loss_exp: float = 1.0
+    reg_coeff: float = 0.0
+    clip_grad: float | None = 10.0
+    warmup_epochs: int = 40  # grad clip enabled only after this many epochs
+    ipe: int = 300
+
+
+def feature_layer_norm(h: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Parameter-free LN over the feature dim (torch F.layer_norm default eps).
+
+    Applied to target-encoder outputs (reference: app/avjepa/train.py:448).
+    """
+    mean = jnp.mean(h, axis=-1, keepdims=True)
+    var = jnp.var(h, axis=-1, keepdims=True)
+    return (h - mean) * jax.lax.rsqrt(var + eps)
+
+
+def jepa_loss(
+    z: jnp.ndarray,
+    h: jnp.ndarray,
+    pred_mask: jnp.ndarray,
+    loss_exp: float,
+) -> jnp.ndarray:
+    """Masked ``mean(|z-h|^loss_exp)/loss_exp`` over target positions
+    (reference: app/avjepa/train.py:490-495)."""
+    diff = jnp.abs(z.astype(jnp.float32) - h.astype(jnp.float32)) ** loss_exp
+    return masked_mean(diff, pred_mask[..., None]) / loss_exp
+
+
+def make_train_step(
+    encoder: Encoder,
+    predictor: Predictor,
+    sched: ScheduleConfig,
+    step_cfg: StepConfig,
+):
+    """Build the pure train step:
+
+    (state, video, audio, enc_masks [M,B,N], pred_masks [M,B,N]) ->
+        (state', metrics)
+
+    The number of mask configs M is static (python loop, unrolled in XLA).
+    """
+
+    def loss_fn(enc_params, pred_params, target_params, video, audio, enc_masks, pred_masks):
+        num_cfgs = enc_masks.shape[0]
+
+        # target: full-sequence EMA encoder, feature-dim LN, no gradients
+        h = encoder.apply({"params": target_params}, video, audio)
+        h = feature_layer_norm(h)
+        h = jax.lax.stop_gradient(h)
+
+        loss_jepa = 0.0
+        pstd_sum = 0.0
+        for i in range(num_cfgs):
+            enc_m = enc_masks[i]
+            pred_m = pred_masks[i]
+            ctx = encoder.apply(
+                {"params": enc_params}, video, audio, key_mask=enc_m
+            )
+            z = predictor.apply(
+                {"params": pred_params}, ctx, enc_m, pred_m, i
+            )
+            loss_jepa = loss_jepa + jepa_loss(z, h, pred_m, step_cfg.loss_exp)
+            # predictor variance across target tokens (reference reg_fn,
+            # train.py:497-498): sqrt(var_tokens(z) + 1e-4), averaged over cfgs
+            zv = masked_var(z.astype(jnp.float32), pred_m[..., None], axis=1)
+            pstd_sum = pstd_sum + jnp.sqrt(zv + 1e-4)
+
+        loss_jepa = loss_jepa / num_cfgs
+        pstd = pstd_sum / num_cfgs
+        loss_reg = jnp.mean(jax.nn.relu(1.0 - pstd))
+        loss = loss_jepa + step_cfg.reg_coeff * loss_reg
+        return loss, (loss_jepa, loss_reg)
+
+    def train_step(state: JepaState, video, audio, enc_masks, pred_masks):
+        step = state.step
+        lr = lr_at_step(sched, step)
+        wd = wd_at_step(sched, step)
+
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+        (loss, (loss_jepa, loss_reg)), (enc_g, pred_g) = grad_fn(
+            state.enc_params,
+            state.pred_params,
+            state.target_params,
+            video,
+            audio,
+            enc_masks,
+            pred_masks,
+        )
+
+        # grad clip only after warmup epochs (reference: train.py:518-520)
+        enc_norm = global_norm(enc_g)
+        pred_norm = global_norm(pred_g)
+        if step_cfg.clip_grad is not None:
+            epoch = step // step_cfg.ipe
+            enabled = (epoch > step_cfg.warmup_epochs).astype(jnp.float32)
+            def clip(tree, norm):
+                scale = jnp.minimum(1.0, step_cfg.clip_grad / (norm + 1e-6))
+                scale = enabled * scale + (1.0 - enabled)
+                return jax.tree_util.tree_map(lambda g: g * scale, tree)
+            enc_g = clip(enc_g, enc_norm)
+            pred_g = clip(pred_g, pred_norm)
+
+        enc_params, enc_opt = adamw_update(
+            enc_g, state.enc_opt, state.enc_params, lr, wd, wd_mask(state.enc_params)
+        )
+        pred_params, pred_opt = adamw_update(
+            pred_g, state.pred_opt, state.pred_params, lr, wd, wd_mask(state.pred_params)
+        )
+
+        # EMA target update fused into the step (reference: train.py:533-537)
+        m = ema_at_step(sched, step)
+        target_params = jax.tree_util.tree_map(
+            lambda k, q: m * k + (1.0 - m) * q, state.target_params, enc_params
+        )
+
+        new_state = JepaState(
+            step=step + 1,
+            enc_params=enc_params,
+            pred_params=pred_params,
+            target_params=target_params,
+            enc_opt=enc_opt,
+            pred_opt=pred_opt,
+        )
+
+        metrics = {
+            "loss": loss,
+            "loss_jepa": loss_jepa,
+            "loss_reg": loss_reg,
+            "lr": lr,
+            "wd": wd,
+            "ema": m,
+            "enc_grad_norm": enc_norm,
+            "pred_grad_norm": pred_norm,
+            # optimizer moment magnitudes (reference adamw_logger,
+            # src/utils/logging.py:108-118)
+            "opt_mu_abs": _tree_abs_mean(enc_opt.mu),
+            "opt_nu_abs": _tree_abs_mean(enc_opt.nu),
+            # input-variance diagnostics (reference: train.py:560-563)
+            "input_var": jnp.mean(jnp.var(video.reshape(video.shape[0], -1), axis=1)),
+            "input_var_min": jnp.min(jnp.var(video.reshape(video.shape[0], -1), axis=1)),
+            "mask_sizes": jnp.sum(enc_masks[:, 0, :], axis=1).astype(jnp.float32),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def _tree_abs_mean(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    total = sum(jnp.sum(jnp.abs(x)) for x in leaves)
+    count = sum(x.size for x in leaves)
+    return total / count
+
+
+def stack_masksets(masksets: Sequence[MaskSet]):
+    """Host-side: list[MaskSet] -> (enc [M,B,N], pred [M,B,N]) numpy bools."""
+    import numpy as np
+
+    enc = np.stack([m.enc for m in masksets])
+    pred = np.stack([m.pred for m in masksets])
+    return enc, pred

@@ -1,0 +1,104 @@
+"""Benchmark: AV-JEPA pretrain step throughput (clips/sec/chip) on the
+north-star config — ViT-L/16 AV, 16x224^2 frames, 2 mask configs, bf16.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is measured
+against the north-star target of 2x an A100 running the same step. The A100
+reference throughput is a FLOPs-derived estimate, documented here:
+  step compute ~= ViT-L fwd on 1664 tokens x (1 target + 2 ctx fwd + 2x2 bwd)
+  + predictor (12L/384w) ~= 3.9 TFLOP/clip; A100 bf16 312 TFLOPs peak at ~45%
+  MFU -> ~36 clips/s. Target = 2x => 72 clips/s/chip.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_EST_CLIPS_PER_SEC = 36.0
+TARGET_FACTOR = 2.0
+
+
+def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20):
+    import jax
+    import jax.numpy as jnp
+
+    from avjepa_tpu.config import load_config
+    from avjepa_tpu.train import pretrain
+    from avjepa_tpu.train.step import stack_masksets
+
+    cfg = load_config(
+        {
+            "app": "avjepa",
+            "data": {
+                "dataset_type": "audiovideodataset",
+                "batch_size": batch,
+                "num_frames": 16,
+                "tubelet_size": 2,
+                "crop_size": 224,
+                "patch_size": 16,
+                "num_workers": 4,
+                "source": "synthetic",
+            },
+            "mask": [
+                {"aspect_ratio": [0.75, 1.5], "num_blocks": 8,
+                 "spatial_scale": [0.15, 0.15], "temporal_scale": [1.0, 1.0]},
+                {"aspect_ratio": [0.75, 1.5], "num_blocks": 2,
+                 "spatial_scale": [0.7, 0.7], "temporal_scale": [1.0, 1.0]},
+            ],
+            "meta": {"seed": 0, "dtype": "bfloat16"},
+            "model": {"model_name": model_name, "pred_depth": 12,
+                      "pred_embed_dim": 384, "uniform_power": True,
+                      "use_mask_tokens": True, "zero_init_mask_tokens": True},
+            "optimization": {"ipe": 300, "epochs": 300, "warmup": 40},
+            "logging": {"folder": "/tmp/avjepa_bench", "write_tag": "bench"},
+            "tpu": {"remat": True},
+        }
+    )
+
+    handles = pretrain.setup(cfg)
+    video, audio, _, masks = next(iter(handles.loader))
+    enc_m, pred_m = stack_masksets(masks)
+    video = jnp.asarray(video)
+    audio = jnp.asarray(audio)
+    enc_m = jnp.asarray(enc_m)
+    pred_m = jnp.asarray(pred_m)
+
+    state = handles.state
+    # compile + warmup
+    state, metrics = handles.step_fn(state, video, audio, enc_m, pred_m)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = handles.step_fn(state, video, audio, enc_m, pred_m)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    clips_per_sec_per_chip = batch * steps / dt / n_chips
+    loss = float(jax.device_get(metrics["loss"]))
+    assert np.isfinite(loss)
+
+    result = {
+        "metric": f"clips/sec/chip {model_name} AV pretrain step (b{batch}, bf16, 2 masks)",
+        "value": round(clips_per_sec_per_chip, 3),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(
+            clips_per_sec_per_chip / (TARGET_FACTOR * A100_EST_CLIPS_PER_SEC), 3
+        ),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    model = sys.argv[1] if len(sys.argv) > 1 else "vit_large"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    main(model, batch, steps)

@@ -1,0 +1,37 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+This is the JAX idiom for testing multi-chip sharding without TPU hardware
+(replaces the reference's missing fake-backend story — it had no tests at all).
+
+Note: this environment pre-imports part of jax at interpreter startup and
+latches platform env vars, so plain JAX_PLATFORMS=cpu is ignored;
+jax.config.update after import is authoritative.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu():
+    assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+    yield
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

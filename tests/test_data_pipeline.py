@@ -1,0 +1,158 @@
+"""Data pipeline tests: native decoder, mel spectrogram, file dataset, loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from avjepa_tpu.data.mel import mel_filterbank, mel_spectrogram, power_to_db, stft_magnitude
+from avjepa_tpu.layout import TokenLayout
+
+
+@pytest.fixture(scope="module")
+def test_video(tmp_path_factory):
+    from avjepa_tpu.data.video_decoder import write_test_video
+
+    path = str(tmp_path_factory.mktemp("media") / "clip.avi")
+    write_test_video(path, n_frames=80, w=128, h=96, fps=25.0, with_audio=True)
+    return path
+
+
+def test_mel_shapes_and_peak():
+    sr = 44100
+    t = np.arange(sr, dtype=np.float32) / sr
+    y = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    m = mel_spectrogram(y, sr)
+    assert m.shape == (128, 192)
+    # ref=max => peak at 0 dB (width zoom may interpolate slightly below)
+    assert -1.0 <= m.max() <= 1e-6
+    assert m.min() >= -81.0  # top_db clamp
+    # the 440 Hz peak should sit in the low mel bins
+    peak_bin = int(np.argmax(m.mean(axis=1)))
+    assert 2 <= peak_bin <= 25
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(44100, 2048, 128)
+    assert fb.shape == (128, 1025)
+    assert (fb >= 0).all()
+    # every filter has some support
+    assert (fb.sum(axis=1) > 0).all()
+
+
+def test_stft_frame_count():
+    y = np.zeros(5120, np.float32)
+    s = stft_magnitude(y, n_fft=2048, hop_length=512)
+    assert s.shape == (1025, 1 + 5120 // 512)
+
+
+def test_power_to_db_clamp():
+    s = np.array([[1.0, 1e-12]])
+    db = power_to_db(s, top_db=80.0)
+    assert db[0, 0] == 0.0
+    assert db[0, 1] == -80.0
+
+
+def test_decoder_roundtrip(test_video):
+    from avjepa_tpu.data.video_decoder import VideoFile
+
+    vf = VideoFile(test_video)
+    assert vf.num_frames == 80
+    assert abs(vf.fps - 25.0) < 1e-6
+    idx = np.array([0, 10, 10, 40, 79])
+    frames = vf.decode_frames(idx)
+    assert frames.shape == (5, 96, 128, 3)
+    # duplicate index decodes identical frames
+    np.testing.assert_array_equal(frames[1], frames[2])
+    # different frames differ (moving pattern)
+    assert np.abs(frames[0].astype(int) - frames[3].astype(int)).max() > 10
+    pcm, sr = vf.decode_audio()
+    assert sr == 44100
+    assert len(pcm) > sr * 2  # ~3.2s of audio
+    # 440 Hz sine: strong signal
+    assert np.abs(pcm).max() > 0.2
+
+
+def test_file_dataset(test_video, tmp_path):
+    from avjepa_tpu.data.av_dataset import AVFileDataset
+
+    csv = tmp_path / "index.csv"
+    csv.write_text(f"{test_video} 3\n{test_video} 5\n")
+    layout = TokenLayout(num_frames=8, crop_size=64, patch_size=16, tubelet_size=2)
+    ds = AVFileDataset(
+        csv_paths=[str(csv)], layout=layout, frames_per_clip=8, frame_step=4,
+        crop_size=64,
+    )
+    assert len(ds) == 2
+    video, mel, label = ds[0]
+    assert video.shape == (8, 64, 64, 3)
+    assert video.dtype == np.float32
+    assert mel.shape == (128, 192)
+    assert label == 3
+    assert np.isfinite(video).all() and np.isfinite(mel).all()
+
+
+def test_clip_sampling_edge_pad():
+    from avjepa_tpu.data.av_dataset import sample_clip_indices
+
+    rng = np.random.default_rng(0)
+    # short video: 10 frames, want 16 x step 4 = 64 frame span
+    clips = sample_clip_indices(10, 16, 4, 1, rng)
+    assert len(clips) == 1
+    assert len(clips[0]) == 16
+    assert clips[0].max() <= 9
+    # long video
+    clips = sample_clip_indices(300, 16, 4, 2, rng)
+    assert len(clips) == 2
+    assert all(len(c) == 16 for c in clips)
+    assert clips[1].min() >= 150  # second partition
+
+
+def test_loader_with_file_dataset(test_video, tmp_path):
+    from avjepa_tpu.data.av_dataset import AVFileDataset
+    from avjepa_tpu.data.loader import JepaLoader, ShardedSampler
+    from avjepa_tpu.masks import AVMaskCollator
+
+    csv = tmp_path / "index.csv"
+    csv.write_text("".join(f"{test_video} {i}\n" for i in range(8)))
+    layout = TokenLayout(num_frames=8, crop_size=64, patch_size=16, tubelet_size=2)
+    ds = AVFileDataset(
+        csv_paths=[str(csv)], layout=layout, frames_per_clip=8, frame_step=4,
+        crop_size=64,
+    )
+    coll = AVMaskCollator(
+        [{"aspect_ratio": [0.75, 1.5], "num_blocks": 2,
+          "spatial_scale": [0.5, 0.5], "temporal_scale": [1.0, 1.0]}],
+        layout,
+    )
+    sampler = ShardedSampler(len(ds), batch_size=4, num_shards=1, shard_index=0)
+    loader = JepaLoader(ds, sampler, mask_collator=coll, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    video, audio, labels, masks = batches[0]
+    assert video.shape == (4, 8, 64, 64, 3)
+    assert audio.shape == (4, 128, 192, 1)
+    assert len(masks) == 1
+
+
+def test_transforms_shapes():
+    from avjepa_tpu.data.transforms import VideoTransform
+
+    rng = np.random.default_rng(0)
+    clip = (np.random.default_rng(1).uniform(0, 255, (8, 120, 160, 3))).astype(np.uint8)
+    tf = VideoTransform(crop_size=64, motion_shift=True, reprob=1.0)
+    out = tf(clip, rng)
+    assert out.shape == (8, 64, 64, 3)
+    assert out.dtype == np.float32
+    assert np.isfinite(out).all()
+
+
+def test_eval_transform_views():
+    from avjepa_tpu.data.transforms import EvalVideoTransform
+
+    clip = (np.random.default_rng(1).uniform(0, 255, (4, 120, 160, 3))).astype(np.uint8)
+    tf = EvalVideoTransform(num_views=3, short_side=64, crop_size=64)
+    views = tf(clip)
+    assert len(views) == 3
+    for v in views:
+        assert v.shape == (4, 64, 64, 3)
