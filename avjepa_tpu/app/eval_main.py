@@ -1,0 +1,31 @@
+"""Eval CLI: ``python -m avjepa_tpu.app.eval_main --fname eval_cfg.yaml``.
+
+Reference parity: evals/main.py (--fname, eval_name key dispatch).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import yaml
+
+
+def launch(fname: str) -> None:
+    from avjepa_tpu.registry import eval_main
+    from avjepa_tpu.utils.logging import get_logger
+
+    import jax
+
+    logger = get_logger(rank=jax.process_index())
+    with open(fname) as f:
+        params = yaml.safe_load(f)
+    eval_name = params.get("eval_name")
+    logger.info(f"running eval '{eval_name}'")
+    eval_main(eval_name, params)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--fname", type=str, required=True)
+    args = parser.parse_args()
+    launch(args.fname)

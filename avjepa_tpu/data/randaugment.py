@@ -1,0 +1,184 @@
+"""RandAugment for video clips, in numpy (no PIL).
+
+Behavioral equivalent of the reference's vendored PIL-op RandAugment with the
+``rand-m7-n4-mstd0.5-inc1`` policy used by the pretraining transform
+(reference: src/datasets/utils/video/randaugment.py;
+src/datasets/utils/video/transforms.py:625-659): per clip, pick N=4 ops at
+random; each op's magnitude is 7/30 of its range, jittered by N(0, 0.5) and
+clipped; 'inc1' makes magnitude increase severity. The same op+magnitude is
+applied to every frame of the clip (temporal consistency, as the reference
+applies one augment to the PIL frame list).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_LEVEL = 30.0
+
+
+def _affine(clip: np.ndarray, matrix: np.ndarray, fill: float = 128.0) -> np.ndarray:
+    """Apply a 2x3 inverse affine matrix to every frame (nearest neighbor)."""
+    t, h, w, c = clip.shape
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    coords = np.stack([xx.ravel(), yy.ravel(), np.ones(h * w)])
+    src = matrix @ coords
+    sx = np.round(src[0]).astype(np.int64)
+    sy = np.round(src[1]).astype(np.int64)
+    valid = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+    sx = np.clip(sx, 0, w - 1)
+    sy = np.clip(sy, 0, h - 1)
+    out = clip[:, sy, sx].reshape(t, h, w, c).astype(np.float32)
+    out[:, ~valid.reshape(h, w)] = fill
+    return out
+
+
+def shear_x(clip, level):
+    m = np.array([[1, level, 0], [0, 1, 0]], np.float64)
+    return _affine(clip, m)
+
+
+def shear_y(clip, level):
+    m = np.array([[1, 0, 0], [level, 1, 0]], np.float64)
+    return _affine(clip, m)
+
+
+def translate_x(clip, frac):
+    w = clip.shape[2]
+    m = np.array([[1, 0, frac * w], [0, 1, 0]], np.float64)
+    return _affine(clip, m)
+
+
+def translate_y(clip, frac):
+    h = clip.shape[1]
+    m = np.array([[1, 0, 0], [0, 1, frac * h]], np.float64)
+    return _affine(clip, m)
+
+
+def rotate(clip, degrees):
+    h, w = clip.shape[1:3]
+    cx, cy = w / 2, h / 2
+    rad = np.deg2rad(degrees)
+    cos, sin = np.cos(rad), np.sin(rad)
+    # inverse rotation about center
+    m = np.array(
+        [
+            [cos, sin, cx - cx * cos - cy * sin],
+            [-sin, cos, cy + cx * sin - cy * cos],
+        ],
+        np.float64,
+    )
+    return _affine(clip, m)
+
+
+def auto_contrast(clip, _):
+    out = clip.astype(np.float32)
+    for ch in range(clip.shape[-1]):
+        lo, hi = out[..., ch].min(), out[..., ch].max()
+        if hi > lo:
+            out[..., ch] = (out[..., ch] - lo) * (255.0 / (hi - lo))
+    return out
+
+
+def invert(clip, _):
+    return 255.0 - clip.astype(np.float32)
+
+
+def equalize(clip, _):
+    out = clip.astype(np.uint8).copy()
+    for ch in range(clip.shape[-1]):
+        hist, _ = np.histogram(out[..., ch], bins=256, range=(0, 256))
+        cdf = hist.cumsum()
+        nz = cdf[cdf > 0]
+        if len(nz) == 0:
+            continue
+        lut = np.clip(((cdf - nz[0]) * 255.0 / max(cdf[-1] - nz[0], 1)), 0, 255)
+        out[..., ch] = lut[out[..., ch]].astype(np.uint8)
+    return out.astype(np.float32)
+
+
+def solarize(clip, thresh):
+    c = clip.astype(np.float32)
+    return np.where(c >= thresh, 255.0 - c, c)
+
+
+def solarize_add(clip, add, thresh=128.0):
+    c = clip.astype(np.float32)
+    return np.where(c < thresh, np.clip(c + add, 0, 255), c)
+
+
+def posterize(clip, bits):
+    bits = int(max(1, bits))
+    shift = 8 - bits
+    return ((clip.astype(np.uint8) >> shift) << shift).astype(np.float32)
+
+
+def contrast(clip, factor):
+    c = clip.astype(np.float32)
+    mean = c.mean()
+    return np.clip(mean + factor * (c - mean), 0, 255)
+
+
+def color(clip, factor):
+    c = clip.astype(np.float32)
+    gray = c.mean(axis=-1, keepdims=True)
+    return np.clip(gray + factor * (c - gray), 0, 255)
+
+
+def brightness(clip, factor):
+    return np.clip(clip.astype(np.float32) * factor, 0, 255)
+
+
+def sharpness(clip, factor):
+    c = clip.astype(np.float32)
+    # 3x3 smoothing kernel per frame
+    k = np.array([[1, 1, 1], [1, 5, 1], [1, 1, 1]], np.float32) / 13.0
+    blurred = np.zeros_like(c)
+    pad = np.pad(c, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    for dy in range(3):
+        for dx in range(3):
+            blurred += k[dy, dx] * pad[:, dy : dy + c.shape[1], dx : dx + c.shape[2]]
+    return np.clip(blurred + factor * (c - blurred), 0, 255)
+
+
+# (name, fn, level -> arg) with 'inc1' increasing-severity mappings
+def _lvl(level, maxval, signed, rng):
+    v = level / _MAX_LEVEL * maxval
+    if signed and rng.random() < 0.5:
+        v = -v
+    return v
+
+
+OPS = [
+    ("AutoContrast", auto_contrast, lambda l, r: 0),
+    ("Equalize", equalize, lambda l, r: 0),
+    ("Invert", invert, lambda l, r: 0),
+    ("Rotate", rotate, lambda l, r: _lvl(l, 30.0, True, r)),
+    ("Posterize", posterize, lambda l, r: 8 - int(l / _MAX_LEVEL * 4)),
+    ("Solarize", solarize, lambda l, r: 255 - int(l / _MAX_LEVEL * 255)),
+    ("SolarizeAdd", solarize_add, lambda l, r: int(l / _MAX_LEVEL * 110)),
+    ("Color", color, lambda l, r: 1.0 + _lvl(l, 0.9, True, r)),
+    ("Contrast", contrast, lambda l, r: 1.0 + _lvl(l, 0.9, True, r)),
+    ("Brightness", brightness, lambda l, r: 1.0 + _lvl(l, 0.9, True, r)),
+    ("Sharpness", sharpness, lambda l, r: 1.0 + _lvl(l, 0.9, True, r)),
+    ("ShearX", shear_x, lambda l, r: _lvl(l, 0.3, True, r)),
+    ("ShearY", shear_y, lambda l, r: _lvl(l, 0.3, True, r)),
+    ("TranslateX", translate_x, lambda l, r: _lvl(l, 0.45, True, r)),
+    ("TranslateY", translate_y, lambda l, r: _lvl(l, 0.45, True, r)),
+]
+
+
+def rand_augment_video(
+    clip: np.ndarray,
+    rng: np.random.Generator,
+    num_ops: int = 4,
+    magnitude: float = 7.0,
+    mag_std: float = 0.5,
+) -> np.ndarray:
+    """[T, H, W, C] uint8 -> float32, rand-m7-n4-mstd0.5 policy."""
+    out = clip.astype(np.float32)
+    for _ in range(num_ops):
+        name, fn, arg_fn = OPS[int(rng.integers(0, len(OPS)))]
+        level = float(np.clip(rng.normal(magnitude, mag_std), 0, _MAX_LEVEL))
+        out = fn(np.clip(out, 0, 255), arg_fn(level, rng))
+    return np.clip(out, 0, 255)

@@ -1,0 +1,290 @@
+"""Frozen-backbone image classification eval.
+
+Reference: evals/image_classification_frozen/eval.py — the same attentive
+probe on single images; video-pretrained encoders see the image replicated
+across ``frames_per_clip`` frames (the reference does this with a
+forward_pre_hook, eval.py:451-457; here it is a plain broadcast).
+
+Datasets: class-per-subdirectory image folders (the reference's torchvision
+ImageFolder convention) or a ``path label`` CSV; image decode goes through the
+same native libav decoder (mjpeg/png are libavcodec decoders).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from avjepa_tpu.data.av_dataset import load_index
+from avjepa_tpu.data.loader import ShardedSampler
+from avjepa_tpu.data.transforms import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    _bilinear_resize,
+    sample_crop_box,
+)
+from avjepa_tpu.data.video_decoder import VideoFile
+from avjepa_tpu.layout import TokenLayout
+from avjepa_tpu.models import init_encoder_params, make_encoder
+from avjepa_tpu.models.attentive_pooler import AttentiveClassifier
+from avjepa_tpu.models.factory import VIT_SPECS
+from avjepa_tpu.train.optim import (
+    ScheduleConfig,
+    adamw_init,
+    adamw_update,
+    clip_by_global_norm,
+    lr_at_step,
+    wd_mask,
+)
+from avjepa_tpu.utils.logging import AverageMeter, get_logger
+
+
+@dataclasses.dataclass
+class ImageEvalConfig:
+    image_folder: str = ""
+    dataset_train: str = ""  # CSV alternative
+    dataset_val: str = ""
+    num_classes: int = 1000
+    resolution: int = 224
+    batch_size: int = 16
+    num_epochs: int = 20
+    lr: float = 1e-3
+    start_lr: float = 1e-3
+    final_lr: float = 0.0
+    warmup: float = 0.0
+    weight_decay: float = 0.01
+    use_bfloat16: bool = True
+    model_name: str = "vit_large"
+    patch_size: int = 16
+    frames_per_clip: int = 16  # video encoder: image replicated to this many
+    tubelet_size: int = 2
+    uniform_power: bool = True
+    checkpoint: str = ""
+    seed: int = 0
+    source: str = "files"
+
+
+def config_from_yaml(d: dict) -> ImageEvalConfig:
+    data = d.get("data", {})
+    opt = d.get("optimization", {})
+    pre = d.get("pretrain", {})
+    return ImageEvalConfig(
+        image_folder=data.get("image_folder", ""),
+        dataset_train=data.get("dataset_train", ""),
+        dataset_val=data.get("dataset_val", ""),
+        num_classes=data.get("num_classes", 1000),
+        resolution=opt.get("resolution", 224),
+        batch_size=opt.get("batch_size", 16),
+        num_epochs=opt.get("num_epochs", 20),
+        lr=opt.get("lr", 1e-3),
+        start_lr=opt.get("start_lr", 1e-3),
+        final_lr=opt.get("final_lr", 0.0),
+        warmup=opt.get("warmup", 0.0),
+        weight_decay=opt.get("weight_decay", 0.01),
+        use_bfloat16=opt.get("use_bfloat16", True),
+        model_name=pre.get("model_name", "vit_large"),
+        patch_size=pre.get("patch_size", 16),
+        frames_per_clip=pre.get("frames_per_clip", 16),
+        tubelet_size=pre.get("tubelet_size", 2),
+        uniform_power=pre.get("uniform_power", True),
+        checkpoint=os.path.join(pre.get("folder", ""), pre.get("checkpoint", "")),
+        source=data.get("source", "files"),
+    )
+
+
+def _folder_index(root: str):
+    classes = sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+    )
+    paths, labels = [], []
+    for ci, c in enumerate(classes):
+        cdir = os.path.join(root, c)
+        for f in sorted(os.listdir(cdir)):
+            paths.append(os.path.join(cdir, f))
+            labels.append(ci)
+    return paths, np.asarray(labels)
+
+
+class ImageDataset:
+    def __init__(self, cfg: ImageEvalConfig, train: bool):
+        self.cfg = cfg
+        self.train = train
+        if cfg.image_folder:
+            sub = "train" if train else "val"
+            self.paths, self.labels = _folder_index(os.path.join(cfg.image_folder, sub))
+        else:
+            csv = cfg.dataset_train if train else cfg.dataset_val
+            self.paths, self.labels, _ = load_index([csv])
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, idx: int):
+        cfg = self.cfg
+        vf = VideoFile(self.paths[idx])
+        img = vf.decode_frames(np.array([0]))[0].astype(np.float32)  # [H, W, 3]
+        rng = np.random.default_rng([3, int(self.train), idx])
+        r = cfg.resolution
+        if self.train:
+            top, left, ch, cw = sample_crop_box(
+                img.shape[0], img.shape[1], (0.08, 1.0), (0.75, 4 / 3), rng
+            )
+            img = _bilinear_resize(img[top : top + ch, left : left + cw], r, r)
+            if rng.random() < 0.5:
+                img = img[:, ::-1]
+        else:
+            h, w = img.shape[:2]
+            s = 256 / min(h, w)
+            img = _bilinear_resize(img, int(round(h * s)), int(round(w * s)))
+            h, w = img.shape[:2]
+            top, left = (h - r) // 2, (w - r) // 2
+            img = img[top : top + r, left : left + r]
+        img = (img / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        return np.ascontiguousarray(img, np.float32), int(self.labels[idx])
+
+
+class SyntheticImageDataset:
+    def __init__(self, cfg: ImageEvalConfig, train: bool, length: int = 64):
+        self.cfg = cfg
+        self.train = train
+        self.length = length
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx: int):
+        cfg = self.cfg
+        rng = np.random.default_rng([5, int(self.train), idx])
+        label = idx % cfg.num_classes
+        img = (label / cfg.num_classes + rng.normal(
+            0, 0.1, (cfg.resolution, cfg.resolution, 3)
+        )).astype(np.float32)
+        return img, label
+
+
+def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
+    logger = get_logger(rank=jax.process_index())
+    dtype = jnp.bfloat16 if cfg.use_bfloat16 else jnp.float32
+    layout = TokenLayout(
+        num_frames=cfg.frames_per_clip,
+        crop_size=cfg.resolution,
+        patch_size=cfg.patch_size,
+        tubelet_size=cfg.tubelet_size,
+        audio_enabled=False,
+    )
+    encoder = make_encoder(
+        cfg.model_name, layout, uniform_power=cfg.uniform_power, dtype=dtype
+    )
+    enc_params = init_encoder_params(encoder, jax.random.key(cfg.seed))
+    if cfg.checkpoint and os.path.isdir(cfg.checkpoint):
+        from avjepa_tpu.evals.video_classification import load_target_encoder_params
+
+        loaded = load_target_encoder_params(cfg.checkpoint, enc_params)
+        if loaded is not None:
+            enc_params = loaded
+            logger.info(f"loaded pretrained encoder from {cfg.checkpoint}")
+
+    spec = VIT_SPECS[cfg.model_name]
+    classifier = AttentiveClassifier(
+        embed_dim=spec.embed_dim,
+        num_heads=spec.num_heads,
+        depth=1,
+        num_classes=cfg.num_classes,
+        dtype=dtype,
+    )
+    cls_params = jax.jit(classifier.init)(
+        jax.random.key(cfg.seed + 1),
+        jnp.zeros((1, layout.num_tokens, spec.embed_dim), jnp.float32),
+    )["params"]
+
+    if cfg.source == "synthetic" or (not cfg.image_folder and not cfg.dataset_train):
+        train_ds = SyntheticImageDataset(cfg, True)
+        val_ds = SyntheticImageDataset(cfg, False, length=32)
+    else:
+        train_ds = ImageDataset(cfg, True)
+        val_ds = ImageDataset(cfg, False)
+
+    ipe = max(1, len(train_ds) // cfg.batch_size)
+    sched = ScheduleConfig(
+        ipe=ipe, num_epochs=cfg.num_epochs, ipe_scale=1.0,
+        warmup_epochs=cfg.warmup, start_lr=cfg.start_lr, ref_lr=cfg.lr,
+        final_lr=cfg.final_lr, ref_wd=cfg.weight_decay, final_wd=cfg.weight_decay,
+    )
+
+    @jax.jit
+    def encode(enc_params, images):
+        # replicate the image across frames for the video tokenizer
+        clips = jnp.repeat(images[:, None], cfg.frames_per_clip, axis=1)
+        return encoder.apply({"params": enc_params}, clips)
+
+    def cls_loss(cls_params, feats, labels):
+        logits = classifier.apply({"params": cls_params}, feats)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1)), logits
+
+    @jax.jit
+    def train_step(cls_params, opt, step, feats, labels):
+        lr = lr_at_step(sched, step)
+        (loss, logits), grads = jax.value_and_grad(cls_loss, has_aux=True)(
+            cls_params, feats, labels
+        )
+        grads, _ = clip_by_global_norm(grads, 1.0)
+        cls_params, opt = adamw_update(
+            grads, opt, cls_params, lr, jnp.asarray(cfg.weight_decay),
+            wd_mask(cls_params),
+        )
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        return cls_params, opt, {"loss": loss, "acc": acc}
+
+    @jax.jit
+    def predict(cls_params, feats):
+        logits = classifier.apply({"params": cls_params}, feats)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    opt = adamw_init(cls_params)
+    step = jnp.zeros((), jnp.int32)
+    sampler = ShardedSampler(len(train_ds), cfg.batch_size, seed=cfg.seed)
+    summary = {}
+    total = 0
+    for epoch in range(cfg.num_epochs):
+        sampler.set_epoch(epoch)
+        meter = AverageMeter()
+        for indices in sampler:
+            imgs = np.stack([train_ds[int(i)][0] for i in indices])
+            labels = np.asarray([train_ds[int(i)][1] for i in indices])
+            feats = encode(enc_params, jnp.asarray(imgs))
+            cls_params, opt, m = train_step(
+                cls_params, opt, step, feats, jnp.asarray(labels)
+            )
+            step = step + 1
+            meter.update(float(jax.device_get(m["acc"])) * 100)
+            total += 1
+            if max_steps is not None and total >= max_steps:
+                break
+        logger.info(f"[image-eval {epoch + 1}] top1(train) {meter.avg:.2f}%")
+        summary["train_acc"] = meter.avg
+        if max_steps is not None and total >= max_steps:
+            break
+
+    val_sampler = ShardedSampler(len(val_ds), cfg.batch_size, shuffle=False)
+    correct = count = 0
+    for indices in val_sampler:
+        imgs = np.stack([val_ds[int(i)][0] for i in indices])
+        labels = np.asarray([val_ds[int(i)][1] for i in indices])
+        probs = predict(cls_params, encode(enc_params, jnp.asarray(imgs)))
+        correct += int((np.asarray(jnp.argmax(probs, -1)) == labels).sum())
+        count += len(labels)
+    top1 = 100.0 * correct / max(count, 1)
+    logger.info(f"[image-eval] val top-1: {top1:.2f}%")
+    summary["val_top1"] = top1
+    return summary
+
+
+def main(args: dict, resume_preempt: bool = False):
+    return run(config_from_yaml(args))

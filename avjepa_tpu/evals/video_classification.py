@@ -1,0 +1,390 @@
+"""Frozen-backbone video classification eval (attentive probe).
+
+Reference: evals/video_classification_frozen/eval.py + utils.py — load
+pretrained target-encoder weights into a video-only ViT, wrap in clip
+aggregation (multi-segment / multi-view; optional attend-across-segments
+temporal concat with 1D pos-embed), train an AttentiveClassifier with
+cross-entropy, report softmax-averaged top-1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from avjepa_tpu.data.av_dataset import load_index, sample_clip_indices
+from avjepa_tpu.data.loader import ShardedSampler
+from avjepa_tpu.data.transforms import EvalVideoTransform, VideoTransform
+from avjepa_tpu.data.video_decoder import VideoFile
+from avjepa_tpu.layout import TokenLayout
+from avjepa_tpu.models import make_encoder
+from avjepa_tpu.models.attentive_pooler import AttentiveClassifier
+from avjepa_tpu.models.factory import VIT_SPECS
+from avjepa_tpu.models import pos_embed as pe
+from avjepa_tpu.train.optim import (
+    AdamWState,
+    ScheduleConfig,
+    adamw_init,
+    adamw_update,
+    clip_by_global_norm,
+    lr_at_step,
+    wd_mask,
+)
+from avjepa_tpu.utils.checkpoint import CheckpointManager
+from avjepa_tpu.utils.logging import AverageMeter, get_logger
+
+
+@dataclasses.dataclass
+class VideoEvalConfig:
+    dataset_train: str = ""
+    dataset_val: str = ""
+    num_classes: int = 400
+    frames_per_clip: int = 16
+    num_segments: int = 1
+    num_views_per_segment: int = 1
+    frame_step: int = 4
+    attend_across_segments: bool = True
+    use_pos_embed: bool = False
+    num_epochs: int = 20
+    resolution: int = 224
+    batch_size: int = 4
+    weight_decay: float = 0.01
+    lr: float = 1e-3
+    start_lr: float = 1e-3
+    final_lr: float = 0.0
+    warmup: float = 0.0
+    use_bfloat16: bool = True
+    # pretrain section
+    model_name: str = "vit_large"
+    patch_size: int = 16
+    tubelet_size: int = 2
+    uniform_power: bool = True
+    checkpoint: str = ""  # our Orbax ckpt dir from pretraining
+    checkpoint_key: str = "target_encoder"
+    folder: str = "./eval_logs"
+    tag: str = "video-eval"
+    seed: int = 0
+    # tpu build extension
+    source: str = "files"  # 'synthetic' for tests
+
+
+def config_from_yaml(d: dict) -> VideoEvalConfig:
+    data = d.get("data", {})
+    opt = d.get("optimization", {})
+    pre = d.get("pretrain", {})
+    return VideoEvalConfig(
+        dataset_train=data.get("dataset_train", ""),
+        dataset_val=data.get("dataset_val", ""),
+        num_classes=data.get("num_classes", 400),
+        frames_per_clip=data.get("frames_per_clip", 16),
+        num_segments=data.get("num_segments", 1),
+        num_views_per_segment=data.get("num_views_per_segment", 1),
+        frame_step=data.get("frame_step", 4),
+        attend_across_segments=opt.get("attend_across_segments", True),
+        num_epochs=opt.get("num_epochs", 20),
+        resolution=opt.get("resolution", 224),
+        batch_size=opt.get("batch_size", 4),
+        weight_decay=opt.get("weight_decay", 0.01),
+        lr=opt.get("lr", 1e-3),
+        start_lr=opt.get("start_lr", 1e-3),
+        final_lr=opt.get("final_lr", 0.0),
+        warmup=opt.get("warmup", 0.0),
+        use_bfloat16=opt.get("use_bfloat16", True),
+        model_name=pre.get("model_name", "vit_large"),
+        patch_size=pre.get("patch_size", 16),
+        tubelet_size=pre.get("tubelet_size", 2),
+        uniform_power=pre.get("uniform_power", True),
+        checkpoint=os.path.join(pre.get("folder", ""), pre.get("checkpoint", "")),
+        checkpoint_key=pre.get("checkpoint_key", "target_encoder"),
+        folder=d.get("folder", d.get("logging", {}).get("folder", "./eval_logs")),
+        tag=d.get("tag", "video-eval"),
+        source=data.get("source", "files"),
+    )
+
+
+class VideoClassificationDataset:
+    """Multi-segment / multi-view eval dataset (video-only)."""
+
+    def __init__(self, cfg: VideoEvalConfig, train: bool):
+        self.cfg = cfg
+        self.train = train
+        csv = cfg.dataset_train if train else cfg.dataset_val
+        self.paths, self.labels, _ = load_index([csv])
+        self.train_tf = VideoTransform(
+            crop_size=cfg.resolution,
+            random_resize_scale=(0.08, 1.0),
+            random_resize_aspect_ratio=(0.75, 4 / 3),
+        )
+        self.eval_tf = EvalVideoTransform(
+            num_views=cfg.num_views_per_segment,
+            short_side=cfg.resolution,
+            crop_size=cfg.resolution,
+        )
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, idx: int):
+        cfg = self.cfg
+        vf = VideoFile(self.paths[idx])
+        rng = np.random.default_rng([cfg.seed, int(self.train), idx])
+        segs = sample_clip_indices(
+            vf.num_frames, cfg.frames_per_clip, cfg.frame_step,
+            cfg.num_segments if not self.train else 1,
+            rng, random_clip_sampling=self.train,
+        )
+        all_idx = np.concatenate(segs)
+        frames = vf.decode_frames(np.sort(all_idx))
+        order = np.argsort(np.argsort(all_idx, kind="stable"), kind="stable")
+        frames = frames[order]
+        fpc = cfg.frames_per_clip
+        clips = [frames[i * fpc : (i + 1) * fpc] for i in range(len(segs))]
+        if self.train:
+            views = [[self.train_tf(clips[0], rng)]]
+        else:
+            views = [self.eval_tf(c) for c in clips]  # [seg][view]
+        return views, segs, int(self.labels[idx])
+
+
+class SyntheticVideoClsDataset:
+    def __init__(self, cfg: VideoEvalConfig, train: bool, length: int = 64):
+        self.cfg = cfg
+        self.train = train
+        self.length = length
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx: int):
+        cfg = self.cfg
+        rng = np.random.default_rng([7, int(self.train), idx])
+        label = idx % cfg.num_classes
+        n_seg = 1 if self.train else cfg.num_segments
+        n_view = 1 if self.train else cfg.num_views_per_segment
+        base = rng.normal(label / cfg.num_classes, 0.5)
+        views = [
+            [
+                (base + rng.normal(0, 0.1, (cfg.frames_per_clip, cfg.resolution,
+                                            cfg.resolution, 3))).astype(np.float32)
+                for _ in range(n_view)
+            ]
+            for _ in range(n_seg)
+        ]
+        segs = [
+            np.arange(cfg.frames_per_clip) * cfg.frame_step + s
+            for s in range(n_seg)
+        ]
+        return views, segs, label
+
+
+def load_target_encoder_params(ckpt_dir: str, video_params_like):
+    """Load the pretraining checkpoint's target-encoder subtree into a
+    video-only encoder param tree (prefix/shape-tolerant merge like the
+    reference's load_pretrained, eval.py:419-444: drop the audio patch
+    embed, keep everything else)."""
+    mngr = CheckpointManager(ckpt_dir)
+    step = mngr.latest_step()
+    if step is None:
+        mngr.close()
+        return None
+    # restore the raw pytree and pick target_params
+    restored = mngr.mngr.restore(step)
+    mngr.close()
+    src = restored["target_params"] if "target_params" in restored else restored
+    out = {}
+    for k, v in video_params_like.items():
+        if k in src:
+            out[k] = src[k]
+        else:
+            out[k] = v
+    return out
+
+
+def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
+    logger = get_logger(rank=jax.process_index())
+    dtype = jnp.bfloat16 if cfg.use_bfloat16 else jnp.float32
+    layout = TokenLayout(
+        num_frames=cfg.frames_per_clip,
+        crop_size=cfg.resolution,
+        patch_size=cfg.patch_size,
+        tubelet_size=cfg.tubelet_size,
+        audio_enabled=False,
+    )
+    encoder = make_encoder(
+        cfg.model_name, layout, uniform_power=cfg.uniform_power, dtype=dtype
+    )
+    from avjepa_tpu.models import init_encoder_params
+
+    enc_params = init_encoder_params(encoder, jax.random.key(cfg.seed))
+    if cfg.checkpoint and os.path.isdir(cfg.checkpoint):
+        loaded = load_target_encoder_params(cfg.checkpoint, enc_params)
+        if loaded is not None:
+            enc_params = loaded
+            logger.info(f"loaded pretrained encoder from {cfg.checkpoint}")
+
+    spec = VIT_SPECS[cfg.model_name]
+    classifier = AttentiveClassifier(
+        embed_dim=spec.embed_dim,
+        num_heads=spec.num_heads,
+        depth=1,
+        num_classes=cfg.num_classes,
+        dtype=dtype,
+    )
+    n_tok = layout.num_tokens * (cfg.num_segments if cfg.attend_across_segments else 1)
+    cls_params = jax.jit(classifier.init)(
+        jax.random.key(cfg.seed + 1),
+        jnp.zeros((1, n_tok, spec.embed_dim), jnp.float32),
+    )["params"]
+
+    # data
+    if cfg.source == "synthetic" or not cfg.dataset_train:
+        train_ds = SyntheticVideoClsDataset(cfg, train=True)
+        val_ds = SyntheticVideoClsDataset(cfg, train=False, length=32)
+    else:
+        train_ds = VideoClassificationDataset(cfg, train=True)
+        val_ds = VideoClassificationDataset(cfg, train=False)
+
+    ipe = max(1, len(train_ds) // cfg.batch_size)
+    sched = ScheduleConfig(
+        ipe=ipe,
+        num_epochs=cfg.num_epochs,
+        ipe_scale=1.0,
+        warmup_epochs=cfg.warmup,
+        start_lr=cfg.start_lr,
+        ref_lr=cfg.lr,
+        final_lr=cfg.final_lr,
+        ref_wd=cfg.weight_decay,
+        final_wd=cfg.weight_decay,
+    )
+
+    t_grid = layout.t_grid
+    n_spatial = layout.h_grid * layout.w_grid
+
+    def encode(enc_params, clips):  # clips: [Beff, T, H, W, 3]
+        return encoder.apply({"params": enc_params}, clips)
+
+    encode = jax.jit(encode)
+
+    def aggregate(outputs_by_seg: list, clip_indices: Optional[np.ndarray]):
+        """attend-across-segments: temporal concat + optional 1D pos embed
+        (reference ClipAggregation, utils.py:138-159)."""
+        if not cfg.attend_across_segments:
+            return outputs_by_seg
+        out = jnp.concatenate(outputs_by_seg, axis=1)
+        if cfg.use_pos_embed and clip_indices is not None:
+            d = out.shape[-1]
+            max_t = 10000 // cfg.tubelet_size
+            pos = jnp.asarray(pe.sincos_1d(d, max_t), out.dtype)
+            idx = clip_indices[:, :, :: cfg.tubelet_size]  # [S, B, T]
+            chunks = []
+            for s in range(idx.shape[0]):
+                p = pos[idx[s]]  # [B, T, D]
+                p = jnp.repeat(p[:, :, None, :], n_spatial, axis=2).reshape(
+                    p.shape[0], -1, d
+                )
+                chunks.append(p)
+            out = out + jnp.concatenate(chunks, axis=1)
+        return [out]
+
+    def cls_loss(cls_params, feats, labels):
+        logits = classifier.apply({"params": cls_params}, feats)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        loss = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+        return loss, logits
+
+    @jax.jit
+    def train_step(cls_params, opt: AdamWState, step, feats, labels):
+        lr = lr_at_step(sched, step)
+        (loss, logits), grads = jax.value_and_grad(cls_loss, has_aux=True)(
+            cls_params, feats, labels
+        )
+        grads, gnorm = clip_by_global_norm(grads, 1.0)
+        cls_params, opt = adamw_update(
+            grads, opt, cls_params, lr, jnp.asarray(cfg.weight_decay),
+            wd_mask(cls_params),
+        )
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        return cls_params, opt, {"loss": loss, "acc": acc, "lr": lr}
+
+    @jax.jit
+    def predict(cls_params, feats):
+        logits = classifier.apply({"params": cls_params}, feats)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    def batchify(ds, indices):
+        views, segs, labels = [], [], []
+        for i in indices:
+            v, s, l = ds[int(i)]
+            views.append(v)
+            segs.append(s)
+            labels.append(l)
+        n_seg = len(views[0])
+        n_view = len(views[0][0])
+        # [seg][view] -> [seg][view][B, T, H, W, 3]
+        batched = [
+            [np.stack([views[b][s][v] for b in range(len(views))]) for v in range(n_view)]
+            for s in range(n_seg)
+        ]
+        seg_idx = np.stack(
+            [np.stack([segs[b][s] for b in range(len(views))]) for s in range(n_seg)]
+        )  # [S, B, T]
+        return batched, seg_idx, np.asarray(labels)
+
+    opt = adamw_init(cls_params)
+    step = jnp.zeros((), jnp.int32)
+    sampler = ShardedSampler(len(train_ds), cfg.batch_size, seed=cfg.seed)
+    summary = {}
+    total = 0
+    for epoch in range(cfg.num_epochs):
+        sampler.set_epoch(epoch)
+        meter = AverageMeter()
+        for batch_indices in sampler:
+            batched, seg_idx, labels = batchify(train_ds, batch_indices)
+            outs = [encode(enc_params, jnp.asarray(batched[s][0]))
+                    for s in range(len(batched))]
+            feats = aggregate(outs, seg_idx)[0]
+            cls_params, opt, m = train_step(
+                cls_params, opt, step, feats, jnp.asarray(labels)
+            )
+            step = step + 1
+            m = jax.device_get(m)
+            meter.update(float(m["acc"]) * 100)
+            total += 1
+            if max_steps is not None and total >= max_steps:
+                break
+        logger.info(f"[eval-train {epoch + 1}] top1(train) {meter.avg:.2f}%")
+        summary["train_acc"] = meter.avg
+        if max_steps is not None and total >= max_steps:
+            break
+
+    # validation: average softmax over segments x views
+    val_sampler = ShardedSampler(len(val_ds), cfg.batch_size, shuffle=False, seed=0)
+    correct = 0
+    count = 0
+    for batch_indices in val_sampler:
+        batched, seg_idx, labels = batchify(val_ds, batch_indices)
+        n_view = len(batched[0])
+        probs = 0.0
+        for v in range(n_view):
+            outs = [encode(enc_params, jnp.asarray(batched[s][v]))
+                    for s in range(len(batched))]
+            feats_list = aggregate(outs, seg_idx)
+            pv = sum(predict(cls_params, f) for f in feats_list) / len(feats_list)
+            probs = probs + pv
+        pred = np.asarray(jnp.argmax(probs, axis=-1))
+        correct += int((pred == labels).sum())
+        count += len(labels)
+    top1 = 100.0 * correct / max(count, 1)
+    logger.info(f"[eval] val top-1: {top1:.2f}%")
+    summary["val_top1"] = top1
+    return summary
+
+
+def main(args: dict, resume_preempt: bool = False):
+    return run(config_from_yaml(args))

@@ -58,7 +58,13 @@ class BlockStack(nn.Module):
     def __call__(self, x, key_mask=None):
         block_cls = _ScanBlock
         if self.remat:
-            block_cls = nn.remat(_ScanBlock, prevent_cse=False)
+            import jax
+
+            block_cls = nn.remat(
+                _ScanBlock,
+                prevent_cse=False,
+                policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
+            )
         scanned = nn.scan(
             block_cls,
             variable_axes={"params": 0},

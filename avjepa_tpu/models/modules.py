@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -88,6 +89,9 @@ class Attention(nn.Module):
         out = attention(
             q, k, v, key_mask=key_mask, scale=self.qk_scale, impl=self.attn_impl
         )
+        # named for the remat policy: saving attention outputs means the
+        # backward pass never recomputes the (VPU-bound) softmax
+        out = jax.ad_checkpoint.checkpoint_name(out, "attn_out")
         out = jnp.moveaxis(out, 1, 2).reshape(b, n, c).astype(self.dtype)
         out = nn.Dense(
             self.dim, dtype=self.dtype, kernel_init=self.kernel_init, name="proj"

@@ -161,11 +161,17 @@ def setup(cfg: ExperimentConfig, mesh=None) -> TrainHandles:
     collator = make_mask_collator(
         cfg.tpu.mask_type, cfg.mask, layout, base_seed=cfg.meta.seed
     )
+    weights = None
+    if cfg.data.datasets_weights is not None and hasattr(dataset, "sample_weights"):
+        # multi-dataset weighted sampling (reference DistributedWeightedSampler,
+        # src/datasets/utils/weighted_sampler.py:36-97)
+        weights = dataset.sample_weights(cfg.data.datasets_weights)
     sampler = ShardedSampler(
         dataset_len=len(dataset),
         batch_size=cfg.data.batch_size,
         shuffle=True,
         seed=cfg.meta.seed,
+        weights=weights,
     )
     loader = JepaLoader(
         dataset, sampler, mask_collator=collator, num_workers=cfg.data.num_workers

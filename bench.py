@@ -24,7 +24,7 @@ A100_EST_CLIPS_PER_SEC = 36.0
 TARGET_FACTOR = 2.0
 
 
-def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20):
+def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20, attn: str = "flash"):
     import jax
     import jax.numpy as jnp
 
@@ -57,7 +57,7 @@ def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20):
                       "use_mask_tokens": True, "zero_init_mask_tokens": True},
             "optimization": {"ipe": 300, "epochs": 300, "warmup": 40},
             "logging": {"folder": "/tmp/avjepa_bench", "write_tag": "bench"},
-            "tpu": {"remat": True},
+            "tpu": {"remat": True, "attn_impl": attn},
         }
     )
 
@@ -70,14 +70,16 @@ def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20):
     pred_m = jnp.asarray(pred_m)
 
     state = handles.state
-    # compile + warmup
+    # compile + warmup. NOTE: on the tunneled device backend used here,
+    # jax.block_until_ready does NOT actually block; a scalar device_get is
+    # the only reliable completion barrier (and transfers 4 bytes).
     state, metrics = handles.step_fn(state, video, audio, enc_m, pred_m)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = handles.step_fn(state, video, audio, enc_m, pred_m)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()
@@ -101,4 +103,5 @@ if __name__ == "__main__":
     model = sys.argv[1] if len(sys.argv) > 1 else "vit_large"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 20
-    main(model, batch, steps)
+    attn = sys.argv[4] if len(sys.argv) > 4 else "flash"
+    main(model, batch, steps, attn)
