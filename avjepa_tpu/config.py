@@ -110,6 +110,10 @@ class TpuConfig:
     remat: bool = False
     attn_impl: str = "xla"  # 'xla' | 'flash'
     mask_type: str = "multiblock3d"
+    # compacted context encoding: run the context encoder only on kept tokens
+    # (bucketed to 128); identical numerics, large speedup. Disable to force
+    # the fully-dense single-compilation path.
+    compact_context: bool = True
 
 
 @dataclasses.dataclass

@@ -15,7 +15,14 @@ def _image(args: dict, resume_preempt: bool = False):
     return main(args, resume_preempt)
 
 
+def _av_prediction(args: dict, resume_preempt: bool = False):
+    from avjepa_tpu.evals.av_prediction import main
+
+    return main(args, resume_preempt)
+
+
 EVALS: dict[str, Callable] = {
     "video_classification_frozen": _video,
     "image_classification_frozen": _image,
+    "av_prediction": _av_prediction,
 }

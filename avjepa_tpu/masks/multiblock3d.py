@@ -40,10 +40,17 @@ class MaskSet:
 
     enc/pred: [B, N] bool; enc ∧ pred = ∅; positions in neither are dropped by
     the batch-min truncation and excluded from both context and targets.
+
+    enc_idx: [B, K_pad] int32 — ascending kept-token indices for the
+    *compacted* context-encoder path, bucket-padded to a multiple of 128 with
+    the out-of-range sentinel N (so device scatters drop the padding). The
+    per-batch count K is uniform across samples (min-keep truncation), so the
+    compact sequence is rectangular by construction.
     """
 
     enc: np.ndarray
     pred: np.ndarray
+    enc_idx: np.ndarray | None = None
 
     @property
     def enc_count(self) -> np.ndarray:
@@ -52,6 +59,12 @@ class MaskSet:
     @property
     def pred_count(self) -> np.ndarray:
         return self.pred.sum(axis=1)
+
+    @property
+    def enc_cmask(self) -> np.ndarray:
+        """[B, K_pad] bool validity of the compacted context sequence."""
+        n = self.enc.shape[1]
+        return self.enc_idx < n
 
 
 def _truncate_to_min(keep_lists: list[np.ndarray], cap: int | None = None) -> list[np.ndarray]:
@@ -168,10 +181,11 @@ class _BlockGenerator:
 
         nv = self.layout.num_video_tokens
         na = self.layout.num_audio_tokens
+        n = nv + na
         keeps_v = _truncate_to_min(keeps_v, self.max_keep)
         preds_v = _truncate_to_min(preds_v)
-        enc = np.zeros((batch_size, nv + na), dtype=bool)
-        pred = np.zeros((batch_size, nv + na), dtype=bool)
+        enc = np.zeros((batch_size, n), dtype=bool)
+        pred = np.zeros((batch_size, n), dtype=bool)
         enc[:, :nv] = _dense(keeps_v, nv)
         pred[:, :nv] = _dense(preds_v, nv)
         if self.layout.audio_enabled:
@@ -179,7 +193,17 @@ class _BlockGenerator:
             preds_a = _truncate_to_min(preds_a)
             enc[:, nv:] = _dense(keeps_a, na)
             pred[:, nv:] = _dense(preds_a, na)
-        return MaskSet(enc=enc, pred=pred)
+            combined = [
+                np.concatenate([kv, nv + ka]) for kv, ka in zip(keeps_v, keeps_a)
+            ]
+        else:
+            combined = keeps_v
+        k = len(combined[0])
+        k_pad = max(-(-k // 128) * 128, 128)
+        enc_idx = np.full((batch_size, k_pad), n, dtype=np.int32)
+        for b, c in enumerate(combined):
+            enc_idx[b, :k] = c
+        return MaskSet(enc=enc, pred=pred, enc_idx=enc_idx)
 
 
 class AVMaskCollator:
@@ -265,8 +289,27 @@ class RandomTubeCollator:
                 pred[b, : lo.num_video_tokens] = ~flat
                 if lo.audio_enabled:
                     enc[b, lo.num_video_tokens :] = True
-            out.append(MaskSet(enc=enc, pred=pred))
+            k = int(enc[0].sum())
+            k_pad = max(-(-k // 128) * 128, 128)
+            enc_idx = np.full((batch_size, k_pad), lo.num_tokens, dtype=np.int32)
+            for b in range(batch_size):
+                enc_idx[b, :k] = np.flatnonzero(enc[b])
+            out.append(MaskSet(enc=enc, pred=pred, enc_idx=enc_idx))
         return out
+
+
+class DefaultCollator:
+    """No-mask collator (reference: src/masks/default.py — returns
+    (batch, None, None)); here: an empty MaskSet list."""
+
+    def __init__(self, *a, **k):
+        pass
+
+    def set_counter(self, value: int) -> None:
+        pass
+
+    def __call__(self, batch_size: int) -> list[MaskSet]:
+        return []
 
 
 def make_mask_collator(
@@ -278,4 +321,6 @@ def make_mask_collator(
         return cls(cfgs_mask, layout, base_seed)
     if mask_type == "random":
         return RandomTubeCollator(cfgs_mask, layout, base_seed)
+    if mask_type == "default":
+        return DefaultCollator()
     raise ValueError(f"unknown mask_type: {mask_type}")

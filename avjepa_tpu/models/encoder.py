@@ -124,13 +124,24 @@ class Encoder(nn.Module):
         video: jnp.ndarray,
         audio: Optional[jnp.ndarray] = None,
         key_mask: Optional[jnp.ndarray] = None,
+        gather_idx: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """video: [B, T, H, W, 3] (or [B, H, W, C] image); audio: [B, Hs, Ws, 1].
 
-        key_mask: [B, N] bool over the combined token sequence, or None (all
-        tokens valid — the target-encoder path).
-        Returns [B, N, D] with invalid positions containing finite garbage that
-        callers must mask out.
+        key_mask: [B, N] bool over the combined token sequence (or over the
+        *compacted* sequence when gather_idx is given), or None (all tokens
+        valid — the target-encoder path).
+
+        gather_idx: optional [B, K] int32 — compacted-context mode: after
+        patchification + pos embed, only these token positions enter the
+        transformer (K is bucket-padded; out-of-range sentinel entries are
+        clamped for the gather and must be marked invalid in key_mask). This
+        is the performance analog of the reference's physical token removal
+        (reference: src/masks/utils.py apply_masks gather), with static
+        bucketed shapes.
+
+        Returns [B, N, D] (dense) or [B, K, D] (compacted); invalid positions
+        contain finite garbage that callers must mask out.
         """
         lo = self.layout
         is_video = lo.num_frames > 1
@@ -181,6 +192,10 @@ class Encoder(nn.Module):
             x = jnp.concatenate([tokens_v, tokens_a], axis=1)
         else:
             x = tokens_v
+
+        if gather_idx is not None:
+            safe = jnp.minimum(gather_idx, x.shape[1] - 1)
+            x = jnp.take_along_axis(x, safe[..., None], axis=1)
 
         x = BlockStack(
             depth=self.depth,

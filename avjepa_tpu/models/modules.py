@@ -18,9 +18,9 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from avjepa_tpu.ops.attention import attention
 
@@ -91,7 +91,7 @@ class Attention(nn.Module):
         )
         # named for the remat policy: saving attention outputs means the
         # backward pass never recomputes the (VPU-bound) softmax
-        out = jax.ad_checkpoint.checkpoint_name(out, "attn_out")
+        out = checkpoint_name(out, "attn_out")
         out = jnp.moveaxis(out, 1, 2).reshape(b, n, c).astype(self.dtype)
         out = nn.Dense(
             self.dim, dtype=self.dtype, kernel_init=self.kernel_init, name="proj"

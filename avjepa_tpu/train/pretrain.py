@@ -107,6 +107,24 @@ class TrainHandles:
     step_fn: object
     loader: JepaLoader
     mask_collator: object
+    compact: bool = True
+
+    def step(self, state, video, audio, masks):
+        """Run one train step from host-side numpy batch + MaskSets."""
+        out = stack_masksets(masks, with_idx=True)
+        enc_m, pred_m, idx = out
+        if not self.compact:
+            idx = None
+        else:
+            idx = tuple(jnp.asarray(i) for i in idx)
+        return self.step_fn(
+            state,
+            jnp.asarray(video),
+            jnp.asarray(audio) if audio is not None else None,
+            jnp.asarray(enc_m),
+            jnp.asarray(pred_m),
+            idx,
+        )
 
 
 def setup(cfg: ExperimentConfig, mesh=None) -> TrainHandles:
@@ -147,12 +165,25 @@ def setup(cfg: ExperimentConfig, mesh=None) -> TrainHandles:
     )
     raw_step = make_train_step(encoder, predictor, sched, step_cfg)
 
+    compact = bool(cfg.tpu.compact_context)
     batch_sh = NamedSharding(mesh, P(("data", "fsdp")))
     mask_sh = NamedSharding(mesh, P(None, ("data", "fsdp")))
+    idx_sh = (
+        tuple(NamedSharding(mesh, P(("data", "fsdp"))) for _ in cfg.mask)
+        if compact
+        else None
+    )
     repl = NamedSharding(mesh, P())
     step_fn = jax.jit(
         raw_step,
-        in_shardings=(sh, batch_sh, batch_sh if layout.audio_enabled else None, mask_sh, mask_sh),
+        in_shardings=(
+            sh,
+            batch_sh,
+            batch_sh if layout.audio_enabled else None,
+            mask_sh,
+            mask_sh,
+            idx_sh,
+        ),
         out_shardings=(sh, repl),
         donate_argnums=(0,),
     )
@@ -185,6 +216,7 @@ def setup(cfg: ExperimentConfig, mesh=None) -> TrainHandles:
         step_fn=step_fn,
         loader=loader,
         mask_collator=collator,
+        compact=compact,
     )
 
 
@@ -245,15 +277,8 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
             except StopIteration:
                 data_iter = iter(handles.loader)
                 video, audio, _, masks = next(data_iter)
-            enc_m, pred_m = stack_masksets(masks)
             with StepTimer() as t:
-                state, metrics = handles.step_fn(
-                    state,
-                    jnp.asarray(video),
-                    jnp.asarray(audio) if audio is not None else None,
-                    jnp.asarray(enc_m),
-                    jnp.asarray(pred_m),
-                )
+                state, metrics = handles.step(state, video, audio, masks)
                 metrics = jax.device_get(metrics)
             iter_ms = (time.perf_counter() - t_iter) * 1000
             loss = float(metrics["loss"])

@@ -77,8 +77,10 @@ def make_train_step(
     The number of mask configs M is static (python loop, unrolled in XLA).
     """
 
-    def loss_fn(enc_params, pred_params, target_params, video, audio, enc_masks, pred_masks):
+    def loss_fn(enc_params, pred_params, target_params, video, audio, enc_masks,
+                pred_masks, enc_idx):
         num_cfgs = enc_masks.shape[0]
+        n = enc_masks.shape[2]
 
         # target: full-sequence EMA encoder, feature-dim LN, no gradients
         h = encoder.apply({"params": target_params}, video, audio)
@@ -90,9 +92,23 @@ def make_train_step(
         for i in range(num_cfgs):
             enc_m = enc_masks[i]
             pred_m = pred_masks[i]
-            ctx = encoder.apply(
-                {"params": enc_params}, video, audio, key_mask=enc_m
-            )
+            if enc_idx is not None:
+                # compacted context path: encode only kept tokens (bucketed
+                # static K), scatter back to the dense layout for the
+                # predictor — identical math, a fraction of the compute
+                idx = enc_idx[i]
+                cmask = idx < n
+                ctx_c = encoder.apply(
+                    {"params": enc_params}, video, audio,
+                    key_mask=cmask, gather_idx=idx,
+                )
+                b = ctx_c.shape[0]
+                ctx = jnp.zeros((b, n, ctx_c.shape[-1]), ctx_c.dtype)
+                ctx = ctx.at[jnp.arange(b)[:, None], idx].set(ctx_c, mode="drop")
+            else:
+                ctx = encoder.apply(
+                    {"params": enc_params}, video, audio, key_mask=enc_m
+                )
             z = predictor.apply(
                 {"params": pred_params}, ctx, enc_m, pred_m, i
             )
@@ -108,7 +124,8 @@ def make_train_step(
         loss = loss_jepa + step_cfg.reg_coeff * loss_reg
         return loss, (loss_jepa, loss_reg)
 
-    def train_step(state: JepaState, video, audio, enc_masks, pred_masks):
+    def train_step(state: JepaState, video, audio, enc_masks, pred_masks,
+                   enc_idx=None):
         step = state.step
         lr = lr_at_step(sched, step)
         wd = wd_at_step(sched, step)
@@ -122,6 +139,7 @@ def make_train_step(
             audio,
             enc_masks,
             pred_masks,
+            enc_idx,
         )
 
         # grad clip only after warmup epochs (reference: train.py:518-520)
@@ -189,10 +207,16 @@ def _tree_abs_mean(tree) -> jnp.ndarray:
     return total / count
 
 
-def stack_masksets(masksets: Sequence[MaskSet]):
-    """Host-side: list[MaskSet] -> (enc [M,B,N], pred [M,B,N]) numpy bools."""
+def stack_masksets(masksets: Sequence[MaskSet], with_idx: bool = False):
+    """Host-side: list[MaskSet] -> (enc [M,B,N], pred [M,B,N]) numpy bools,
+    plus (with_idx) the per-config compact index tuple ([B, K_i] each)."""
     import numpy as np
 
     enc = np.stack([m.enc for m in masksets])
     pred = np.stack([m.pred for m in masksets])
-    return enc, pred
+    if not with_idx:
+        return enc, pred
+    idx = tuple(m.enc_idx for m in masksets)
+    if any(i is None for i in idx):
+        idx = None
+    return enc, pred, idx

@@ -50,13 +50,37 @@ def repeat_interleave_batch(x: jnp.ndarray, batch_size: int, repeat: int) -> jnp
     return jnp.concatenate(chunks, axis=0)
 
 
+def apply_masks(x: jnp.ndarray, masks, concat_batch: bool = True):
+    """Index-gather masking for API parity with the reference
+    (src/masks/utils.py:14-34): gather token dim by each [B, K] index array.
+
+    concat_batch=True concatenates the per-mask results along batch (the
+    reference's ``concat=True``); otherwise returns a list. The framework's
+    hot path uses dense masks instead — this utility serves eval-style gathers
+    and porting code written against the reference API.
+    """
+    if not isinstance(masks, (list, tuple)):
+        masks = [masks]
+    outs = [
+        jnp.take_along_axis(x, m[..., None].astype(jnp.int32), axis=1)
+        for m in masks
+    ]
+    if concat_batch:
+        return jnp.concatenate(outs, axis=0)
+    return outs
+
+
 def masked_mean(x: jnp.ndarray, mask: jnp.ndarray, axis=None):
-    """Mean of ``x`` over positions where ``mask`` (broadcastable) is True.
+    """Mean of ``x`` over elements where ``mask`` (broadcastable) is True.
+
+    The mask is broadcast to x's full shape before counting, so a [B, N, 1]
+    token mask over [B, N, D] features divides by tokens*D (a true element
+    mean), matching ``torch.mean`` over gathered tokens.
 
     An all-False mask yields 0, not NaN (an empty prediction set contributes
     zero loss instead of poisoning the step).
     """
-    mask = mask.astype(x.dtype)
+    mask = jnp.broadcast_to(mask, x.shape).astype(x.dtype)
     num = jnp.sum(x * mask, axis=axis)
     den = jnp.sum(mask, axis=axis)
     return num / jnp.maximum(den, 1.0)

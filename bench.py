@@ -25,7 +25,15 @@ TARGET_FACTOR = 2.0
 
 
 def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20, attn: str = "flash"):
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/avjepa_jax_cache")
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     import jax.numpy as jnp
 
     from avjepa_tpu.config import load_config
@@ -63,22 +71,26 @@ def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20, attn: 
 
     handles = pretrain.setup(cfg)
     video, audio, _, masks = next(iter(handles.loader))
-    enc_m, pred_m = stack_masksets(masks)
+
+    # transfer the batch to device ONCE: the bench measures device step time,
+    # and host->device moves through this environment's tunnel are slow
+    enc_m, pred_m, idx = stack_masksets(masks, with_idx=True)
     video = jnp.asarray(video)
     audio = jnp.asarray(audio)
     enc_m = jnp.asarray(enc_m)
     pred_m = jnp.asarray(pred_m)
+    idx = tuple(jnp.asarray(i) for i in idx) if handles.compact else None
 
     state = handles.state
     # compile + warmup. NOTE: on the tunneled device backend used here,
     # jax.block_until_ready does NOT actually block; a scalar device_get is
     # the only reliable completion barrier (and transfers 4 bytes).
-    state, metrics = handles.step_fn(state, video, audio, enc_m, pred_m)
+    state, metrics = handles.step_fn(state, video, audio, enc_m, pred_m, idx)
     float(jax.device_get(metrics["loss"]))
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, metrics = handles.step_fn(state, video, audio, enc_m, pred_m)
+        state, metrics = handles.step_fn(state, video, audio, enc_m, pred_m, idx)
     float(jax.device_get(metrics["loss"]))
     dt = time.perf_counter() - t0
 

@@ -1,0 +1,232 @@
+"""Step-for-step training parity vs the reference's training math.
+
+Builds the reference torch models (read-only import from /root/reference),
+copies the weights into our JAX state, then runs N train steps on BOTH sides
+with identical data and masks:
+
+  torch side: reference forward_target / forward_context / loss_fn math
+  (app/avjepa/train.py:441-509), torch AdamW with the reference's param
+  groups (app/avjepa/utils.py:245-263), the reference WarmupCosineSchedule /
+  CosineWDSchedule objects, and the per-param EMA loop (train.py:533-537).
+
+  jax side: our fused train step.
+
+Losses must track within a fraction of a percent — this is the harness behind
+the "loss curve within 1% of reference" target.
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from avjepa_tpu.config import load_config
+from avjepa_tpu.layout import TokenLayout
+from avjepa_tpu.masks import AVMaskCollator
+from avjepa_tpu.models.encoder import Encoder
+from avjepa_tpu.models.predictor import Predictor
+from avjepa_tpu.train.optim import ScheduleConfig
+from avjepa_tpu.train.state import init_state
+from avjepa_tpu.train.step import StepConfig, make_train_step, stack_masksets
+
+from reference_bridge import (
+    disable_sdpa,
+    import_reference,
+    torch_encoder_to_params,
+    torch_predictor_to_params,
+)
+
+FRAMES, CROP, PATCH, TUBELET = 8, 96, 16, 2
+EMBED, DEPTH, HEADS = 96, 3, 3
+PRED_EMBED, PRED_DEPTH = 48, 2
+BATCH = 3
+STEPS = 3
+
+LAYOUT = TokenLayout(num_frames=FRAMES, crop_size=CROP, patch_size=PATCH,
+                     tubelet_size=TUBELET)
+
+SCHED = dict(ipe=10, num_epochs=4, ipe_scale=1.25, warmup_epochs=1,
+             start_lr=2e-4, ref_lr=1e-3, final_lr=1e-6,
+             ref_wd=0.04, final_wd=0.4, ema_start=0.996, ema_end=1.0)
+
+
+def make_ref_models():
+    import torch.nn as tnn
+
+    ref_avt, ref_avp = import_reference()
+    torch.manual_seed(0)
+    enc = ref_avt.AudioVisionTransformer(
+        img_size=CROP, patch_size=PATCH, num_frames=FRAMES, tubelet_size=TUBELET,
+        embed_dim=EMBED, depth=DEPTH, num_heads=HEADS, uniform_power=True,
+        norm_layer=functools.partial(tnn.LayerNorm, eps=1e-6),
+    )
+    pred = ref_avp.AudioVisionTransformerPredictor(
+        img_size=CROP, patch_size=PATCH, num_frames=FRAMES, tubelet_size=TUBELET,
+        embed_dim=EMBED, predictor_embed_dim=PRED_EMBED, depth=PRED_DEPTH,
+        num_heads=HEADS, uniform_power=True, use_mask_tokens=True,
+        num_mask_tokens=2, zero_init_mask_tokens=True,
+        norm_layer=functools.partial(tnn.LayerNorm, eps=1e-6),
+    )
+    for m in (enc, pred):
+        disable_sdpa(m)
+    import copy
+
+    target = copy.deepcopy(enc)
+    return enc, pred, target
+
+
+def masks_to_index_lists(masksets):
+    """MaskSets -> reference-style per-config (enc_v, enc_a, pred_v, pred_a)
+    [B, K] index tensors."""
+    nv = LAYOUT.num_video_tokens
+    out = []
+    for ms in masksets:
+        ev = np.stack([np.flatnonzero(ms.enc[b, :nv]) for b in range(BATCH)])
+        ea = np.stack([np.flatnonzero(ms.enc[b, nv:]) for b in range(BATCH)])
+        pv = np.stack([np.flatnonzero(ms.pred[b, :nv]) for b in range(BATCH)])
+        pa = np.stack([np.flatnonzero(ms.pred[b, nv:]) for b in range(BATCH)])
+        out.append(tuple(torch.from_numpy(x) for x in (ev, ea, pv, pa)))
+    return out
+
+
+def ref_train_steps(enc, pred, target, videos, audios, mask_lists, loss_exp=1.0):
+    """Run the reference training math for len(videos) steps; return losses."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from src.utils.schedulers import CosineWDSchedule, WarmupCosineSchedule
+
+    param_groups = [
+        {"params": [p for n, p in enc.named_parameters()
+                    if ("bias" not in n) and (len(p.shape) != 1)]},
+        {"params": [p for n, p in pred.named_parameters()
+                    if ("bias" not in n) and (len(p.shape) != 1)]},
+        {"params": [p for n, p in enc.named_parameters()
+                    if ("bias" in n) or (len(p.shape) == 1)],
+         "WD_exclude": True, "weight_decay": 0},
+        {"params": [p for n, p in pred.named_parameters()
+                    if ("bias" in n) or (len(p.shape) == 1)],
+         "WD_exclude": True, "weight_decay": 0},
+    ]
+    opt = torch.optim.AdamW(param_groups, betas=(0.9, 0.999), eps=1e-8)
+    total = int(SCHED["ipe_scale"] * SCHED["num_epochs"] * SCHED["ipe"])
+    scheduler = WarmupCosineSchedule(
+        opt, warmup_steps=int(SCHED["warmup_epochs"] * SCHED["ipe"]),
+        start_lr=SCHED["start_lr"], ref_lr=SCHED["ref_lr"],
+        final_lr=SCHED["final_lr"], T_max=total,
+    )
+    wd_scheduler = CosineWDSchedule(
+        opt, ref_wd=SCHED["ref_wd"], final_wd=SCHED["final_wd"], T_max=total
+    )
+    e0, e1 = SCHED["ema_start"], SCHED["ema_end"]
+    momentum = (e0 + i * (e1 - e0) / total for i in range(total + 1))
+
+    nv = LAYOUT.num_video_tokens
+    losses = []
+    for step in range(len(videos)):
+        scheduler.step()
+        wd_scheduler.step()
+        tv = torch.from_numpy(videos[step].transpose(0, 4, 1, 2, 3))
+        ta = torch.from_numpy(audios[step].transpose(0, 3, 1, 2))
+        masks = mask_lists[step]
+
+        with torch.no_grad():
+            h = target(tv, ta)
+            h = torch.nn.functional.layer_norm(h, (h.size(-1),))
+            hv, ha = torch.split(h, [nv, LAYOUT.num_audio_tokens], dim=1)
+
+        loss = 0.0
+        for mi, (ev, ea, pv, pa) in enumerate(masks):
+            z = enc(tv, ta, masks=(ev, ea))
+            zv, za = torch.split(z, [ev.shape[1], ea.shape[1]], dim=1)
+            out = pred(
+                (zv, za),
+                (torch.zeros(BATCH, pv.shape[1], EMBED),
+                 torch.zeros(BATCH, pa.shape[1], EMBED)),
+                (ev, ea), (pv, pa), mask_index=mi,
+            )
+            tgt = torch.cat(
+                [torch.gather(hv, 1, pv.unsqueeze(-1).expand(-1, -1, EMBED)),
+                 torch.gather(ha, 1, pa.unsqueeze(-1).expand(-1, -1, EMBED))],
+                dim=1,
+            )
+            loss = loss + torch.mean(torch.abs(out - tgt) ** loss_exp) / loss_exp
+        loss = loss / len(masks)
+
+        loss.backward()
+        opt.step()
+        opt.zero_grad()
+        m = next(momentum)
+        with torch.no_grad():
+            for pq, pk in zip(enc.parameters(), target.parameters()):
+                pk.data.mul_(m).add_((1.0 - m) * pq.detach().data)
+        losses.append(float(loss))
+    return losses
+
+
+def test_train_step_parity_vs_reference():
+    enc_t, pred_t, target_t = make_ref_models()
+
+    encoder = Encoder(layout=LAYOUT, embed_dim=EMBED, depth=DEPTH,
+                      num_heads=HEADS, uniform_power=True)
+    predictor = Predictor(layout=LAYOUT, embed_dim=EMBED,
+                          predictor_embed_dim=PRED_EMBED, depth=PRED_DEPTH,
+                          num_heads=HEADS, uniform_power=True,
+                          use_mask_tokens=True, num_mask_tokens=2,
+                          zero_init_mask_tokens=True)
+    enc_params = torch_encoder_to_params(enc_t, DEPTH)
+    pred_params = torch_predictor_to_params(pred_t, PRED_DEPTH)
+    state = init_state(
+        jax.tree_util.tree_map(jnp.asarray, enc_params),
+        jax.tree_util.tree_map(jnp.asarray, pred_params),
+    )
+
+    sched = ScheduleConfig(
+        ipe=SCHED["ipe"], num_epochs=SCHED["num_epochs"],
+        ipe_scale=SCHED["ipe_scale"], warmup_epochs=SCHED["warmup_epochs"],
+        start_lr=SCHED["start_lr"], ref_lr=SCHED["ref_lr"],
+        final_lr=SCHED["final_lr"], ref_wd=SCHED["ref_wd"],
+        final_wd=SCHED["final_wd"], ema_start=SCHED["ema_start"],
+        ema_end=SCHED["ema_end"],
+    )
+    step_cfg = StepConfig(loss_exp=1.0, reg_coeff=0.0, clip_grad=None,
+                          warmup_epochs=1, ipe=SCHED["ipe"])
+    step_fn = jax.jit(make_train_step(encoder, predictor, sched, step_cfg))
+
+    # identical data + masks for both sides
+    rng = np.random.default_rng(42)
+    videos = [rng.normal(size=(BATCH, FRAMES, CROP, CROP, 3)).astype(np.float32)
+              for _ in range(STEPS)]
+    audios = [rng.normal(size=(BATCH, 128, 192, 1)).astype(np.float32)
+              for _ in range(STEPS)]
+    coll = AVMaskCollator(
+        [
+            {"aspect_ratio": [0.75, 1.5], "num_blocks": 2,
+             "spatial_scale": [0.2, 0.2], "temporal_scale": [1.0, 1.0]},
+            {"aspect_ratio": [0.75, 1.5], "num_blocks": 1,
+             "spatial_scale": [0.6, 0.6], "temporal_scale": [1.0, 1.0]},
+        ],
+        LAYOUT, base_seed=9,
+    )
+    all_masks = [coll(BATCH) for _ in range(STEPS)]
+    mask_lists = [masks_to_index_lists(m) for m in all_masks]
+
+    ref_losses = ref_train_steps(enc_t, pred_t, target_t, videos, audios, mask_lists)
+
+    jax_losses = []
+    for stp in range(STEPS):
+        enc_m, pred_m = stack_masksets(all_masks[stp])
+        state, metrics = step_fn(
+            state, jnp.asarray(videos[stp]), jnp.asarray(audios[stp]),
+            jnp.asarray(enc_m), jnp.asarray(pred_m),
+        )
+        jax_losses.append(float(jax.device_get(metrics["loss"])))
+
+    np.testing.assert_allclose(jax_losses, ref_losses, rtol=2e-3)
+    # the losses must actually move (optimizer applied)
+    assert abs(jax_losses[-1] - jax_losses[0]) > 1e-4

@@ -55,11 +55,7 @@ def test_single_step_runs(tmp_path):
     handles = pretrain.setup(cfg)
     it = iter(handles.loader)
     video, audio, _, masks = next(it)
-    enc_m, pred_m = stack_masksets(masks)
-    state, metrics = handles.step_fn(
-        handles.state, jnp.asarray(video), jnp.asarray(audio),
-        jnp.asarray(enc_m), jnp.asarray(pred_m),
-    )
+    state, metrics = handles.step(handles.state, video, audio, masks)
     metrics = jax.device_get(metrics)
     assert np.isfinite(metrics["loss"])
     assert metrics["loss"] > 0
@@ -67,10 +63,7 @@ def test_single_step_runs(tmp_path):
     # loss should decrease over a few steps on the same batch
     losses = [float(metrics["loss"])]
     for _ in range(5):
-        state, metrics = handles.step_fn(
-            state, jnp.asarray(video), jnp.asarray(audio),
-            jnp.asarray(enc_m), jnp.asarray(pred_m),
-        )
+        state, metrics = handles.step(state, video, audio, masks)
         losses.append(float(jax.device_get(metrics)["loss"]))
     assert losses[-1] < losses[0], f"no learning: {losses}"
 
@@ -103,11 +96,7 @@ def test_video_only_vjepa(tmp_path):
     it = iter(handles.loader)
     video, audio, _, masks = next(it)
     assert audio is None
-    enc_m, pred_m = stack_masksets(masks)
-    state, metrics = handles.step_fn(
-        handles.state, jnp.asarray(video), None,
-        jnp.asarray(enc_m), jnp.asarray(pred_m),
-    )
+    state, metrics = handles.step(handles.state, video, None, masks)
     assert np.isfinite(float(jax.device_get(metrics)["loss"]))
 
 
@@ -123,9 +112,25 @@ def test_mesh_sharding_multichip(tmp_path):
     handles = pretrain.setup(cfg, mesh=mesh)
     it = iter(handles.loader)
     video, audio, _, masks = next(it)
-    enc_m, pred_m = stack_masksets(masks)
-    state, metrics = handles.step_fn(
-        handles.state, jnp.asarray(video), jnp.asarray(audio),
-        jnp.asarray(enc_m), jnp.asarray(pred_m),
-    )
+    state, metrics = handles.step(handles.state, video, audio, masks)
     assert np.isfinite(float(jax.device_get(metrics)["loss"]))
+
+
+def test_compact_matches_dense(tmp_path):
+    """Compacted context encoding must produce the same loss as dense."""
+    cfg_d = make_cfg(tmp_path)
+    cfg_d.tpu.compact_context = False
+    h_dense = pretrain.setup(cfg_d)
+    video, audio, _, masks = next(iter(h_dense.loader))
+    _, m_dense = h_dense.step(h_dense.state, video, audio, masks)
+
+    cfg_c = make_cfg(tmp_path / "c")
+    cfg_c.tpu.compact_context = True
+    h_comp = pretrain.setup(cfg_c)
+    _, m_comp = h_comp.step(h_comp.state, video, audio, masks)
+
+    np.testing.assert_allclose(
+        float(jax.device_get(m_dense["loss"])),
+        float(jax.device_get(m_comp["loss"])),
+        rtol=1e-5,
+    )
