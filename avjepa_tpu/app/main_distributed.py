@@ -27,7 +27,7 @@ import yaml
 
 
 def launch_one(fname: str, folder: str | None, resume_preempt: bool) -> None:
-    from avjepa_tpu.registry import app_main
+    from avjepa_tpu.registry import app_main, eval_main
     from avjepa_tpu.utils.logging import get_logger
 
     import jax
@@ -37,6 +37,15 @@ def launch_one(fname: str, folder: str | None, resume_preempt: bool) -> None:
         params = yaml.safe_load(f)
     if folder:
         params.setdefault("logging", {})["folder"] = folder
+    if "eval_name" in params:
+        # eval configs batch-launch through the same entry
+        # (reference: evals/main_distributed.py)
+        logger.info(
+            f"[host {jax.process_index()}/{jax.process_count()}] launching eval "
+            f"'{params['eval_name']}' from {fname}"
+        )
+        eval_main(params["eval_name"], params, resume_preempt=resume_preempt)
+        return
     app = params.get("app", "avjepa")
     logger.info(
         f"[host {jax.process_index()}/{jax.process_count()}] launching '{app}' "

@@ -51,6 +51,11 @@ class VideoEvalConfig:
     frame_step: int = 4
     attend_across_segments: bool = True
     use_pos_embed: bool = False
+    # frame aggregation: encode every frame independently with an image-mode
+    # encoder and concatenate all frame tokens (reference FrameAggregation,
+    # evals/video_classification_frozen/utils.py:23-83 — for image-pretrained
+    # backbones evaluated on video)
+    frame_aggregation: bool = False
     num_epochs: int = 20
     resolution: int = 224
     batch_size: int = 4
@@ -87,6 +92,7 @@ def config_from_yaml(d: dict) -> VideoEvalConfig:
         num_views_per_segment=data.get("num_views_per_segment", 1),
         frame_step=data.get("frame_step", 4),
         attend_across_segments=opt.get("attend_across_segments", True),
+        frame_aggregation=opt.get("frame_aggregation", False),
         num_epochs=opt.get("num_epochs", 20),
         resolution=opt.get("resolution", 224),
         batch_size=opt.get("batch_size", 4),
@@ -210,7 +216,7 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
     logger = get_logger(rank=jax.process_index())
     dtype = jnp.bfloat16 if cfg.use_bfloat16 else jnp.float32
     layout = TokenLayout(
-        num_frames=cfg.frames_per_clip,
+        num_frames=1 if cfg.frame_aggregation else cfg.frames_per_clip,
         crop_size=cfg.resolution,
         patch_size=cfg.patch_size,
         tubelet_size=cfg.tubelet_size,
@@ -267,6 +273,12 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
     n_spatial = layout.h_grid * layout.w_grid
 
     def encode(enc_params, clips):  # clips: [Beff, T, H, W, 3]
+        if cfg.frame_aggregation:
+            # image-mode encoder per frame; concat all frame tokens
+            b, t = clips.shape[0], clips.shape[1]
+            frames = clips.reshape(b * t, *clips.shape[2:])
+            out = encoder.apply({"params": enc_params}, frames)
+            return out.reshape(b, t * out.shape[1], out.shape[2])
         return encoder.apply({"params": enc_params}, clips)
 
     encode = jax.jit(encode)
@@ -338,10 +350,30 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
 
     opt = adamw_init(cls_params)
     step = jnp.zeros((), jnp.int32)
+
+    # classifier-only checkpointing (reference: eval.py:250-261)
+    os.makedirs(cfg.folder, exist_ok=True)
+    ckpt = CheckpointManager(os.path.join(cfg.folder, f"{cfg.tag}-cls-ckpt"))
+    start_epoch = 0
+    template = {"cls": jax.device_get(cls_params), "opt": jax.device_get(opt),
+                "step": np.zeros((), np.int32), "epoch": np.zeros((), np.int32)}
+    try:
+        restored = ckpt.restore(template)
+    except Exception:
+        # stale/shape-mismatched checkpoint (e.g. different num_classes):
+        # start fresh, like the reference's shape-tolerant load
+        restored = None
+    if restored is not None:
+        cls_params = jax.device_put(restored["cls"])
+        opt = jax.device_put(restored["opt"])
+        step = jnp.asarray(restored["step"], jnp.int32)
+        start_epoch = int(restored["epoch"])
+        logger.info(f"resumed classifier at epoch {start_epoch}")
+
     sampler = ShardedSampler(len(train_ds), cfg.batch_size, seed=cfg.seed)
     summary = {}
     total = 0
-    for epoch in range(cfg.num_epochs):
+    for epoch in range(start_epoch, cfg.num_epochs):
         sampler.set_epoch(epoch)
         meter = AverageMeter()
         for batch_indices in sampler:
@@ -360,8 +392,16 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
                 break
         logger.info(f"[eval-train {epoch + 1}] top1(train) {meter.avg:.2f}%")
         summary["train_acc"] = meter.avg
+        if jax.process_index() == 0:
+            ckpt.save(
+                int(jax.device_get(step)),
+                {"cls": jax.device_get(cls_params), "opt": jax.device_get(opt),
+                 "step": np.asarray(jax.device_get(step), np.int32),
+                 "epoch": np.asarray(epoch + 1, np.int32)},
+            )
         if max_steps is not None and total >= max_steps:
             break
+    ckpt.close()
 
     # validation: average softmax over segments x views
     val_sampler = ShardedSampler(len(val_ds), cfg.batch_size, shuffle=False, seed=0)

@@ -13,7 +13,8 @@ TPU structure notes:
   dominate, and full Q/K/V rows fit VMEM comfortably (~0.2 MB each).
 - every ref access is a value-level load/store (Mosaic cannot build ref views
   whose last dim, head_dim 64, is under the 128-lane tile).
-- masks ride as int32 (the target rejects sub-word vector compares).
+- the mask rides as an f32 additive bias (0 valid / -1e30 invalid): one VPU
+  add per score element instead of compare+select.
 - sequences are zero-padded to a multiple of the block size; padded keys are
   invalid (always masked), padded query rows are sliced off.
 """
@@ -62,7 +63,7 @@ def _pick_blocks(n_pad: int, s_budget_bytes: int = 3 * 1024 * 1024) -> tuple[int
 
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
                 *, scale, block_q, block_k, nq, nk):
-    # q/k/v/o: [1, N, d]; mask: [1, 1, N] int32 or None; lse: [1, N, 1] f32
+    # q/k/v/o: [1, N, d]; mask: [1, 1, N] f32 additive bias or None; lse: [1, N, 1] f32
     def q_block(qi, _):
         # keep dot operands in the input dtype (bf16 MXU passes); accumulate
         # and keep softmax statistics in f32
@@ -79,8 +80,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * scale  # [bq, bk] f32
             if mask_ref is not None:
-                mk = mask_ref[0, 0:1, pl.ds(i * block_k, block_k)]  # [1, bk]
-                s = jnp.where(mk > 0, s, NEG_INF)
+                s = s + mask_ref[0, 0:1, pl.ds(i * block_k, block_k)]  # [1, bk]
             m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
             p = jnp.exp(s - m_new)
             corr = jnp.exp(m - m_new)
@@ -94,7 +94,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         def maybe_body(i, carry):
             if mask_ref is None:
                 return body(i, carry)
-            any_valid = jnp.sum(mask_ref[0, 0:1, pl.ds(i * block_k, block_k)]) > 0
+            any_valid = jnp.max(mask_ref[0, 0:1, pl.ds(i * block_k, block_k)]) > -1.0
             return jax.lax.cond(any_valid, lambda c: body(i, c), lambda c: c, carry)
 
         m, l, acc = jax.lax.fori_loop(0, nk, maybe_body, (m0, l0, acc0))
@@ -175,8 +175,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref, dq_ref
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * scale
             if mask_ref is not None:
-                mk = mask_ref[0, 0:1, pl.ds(i * block_k, block_k)]
-                s = jnp.where(mk > 0, s, NEG_INF)
+                s = s + mask_ref[0, 0:1, pl.ds(i * block_k, block_k)]
             p = jnp.exp(s - lse)
             dp = jax.lax.dot_general(
                 do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -190,7 +189,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref, dq_ref
         def maybe_body(i, dq):
             if mask_ref is None:
                 return body(i, dq)
-            any_valid = jnp.sum(mask_ref[0, 0:1, pl.ds(i * block_k, block_k)]) > 0
+            any_valid = jnp.max(mask_ref[0, 0:1, pl.ds(i * block_k, block_k)]) > -1.0
             return jax.lax.cond(any_valid, lambda c: body(i, c), lambda c: c, dq)
 
         dq = jax.lax.fori_loop(0, nk, maybe_body, dq0)
@@ -224,7 +223,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref,
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * scale
             if own is not None:
-                s = jnp.where(own > 0, s, NEG_INF)
+                s = s + own
             p = jnp.exp(s - lse)
             p_lo = p.astype(q.dtype)
             dv_new = dv + jax.lax.dot_general(
@@ -244,7 +243,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref,
             return jax.lax.fori_loop(0, nq, body, carry)
 
         if mask_ref is not None:
-            any_valid = jnp.sum(mask_ref[0, 0:1, ksl]) > 0
+            any_valid = jnp.max(mask_ref[0, 0:1, ksl]) > -1.0
             dk, dv = jax.lax.cond(any_valid, run, lambda c: c, (dk0, dv0))
         else:
             dk, dv = run((dk0, dv0))
@@ -372,10 +371,9 @@ def flash_attention(
     q3 = q.reshape(b * h, n_pad, d)
     k3 = k.reshape(b * h, n_pad, d)
     v3 = v.reshape(b * h, n_pad, d)
-    # int32: the Mosaic target rejects sub-word (int8) vector compares
-    mask3 = jnp.repeat(
-        key_mask.astype(jnp.int32)[:, None, :], h, axis=1
-    ).reshape(b * h, 1, n_pad)
+    # additive bias: 0 for valid keys, NEG_INF for invalid
+    bias = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
+    mask3 = jnp.repeat(bias[:, None, :], h, axis=1).reshape(b * h, 1, n_pad)
     out = _flash_masked(q3, k3, v3, mask3, scale, blocks)
     out = out.reshape(b, h, n_pad, d)
     if n_pad != n:

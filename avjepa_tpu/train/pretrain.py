@@ -110,7 +110,30 @@ class TrainHandles:
     compact: bool = True
 
     def step(self, state, video, audio, masks):
-        """Run one train step from host-side numpy batch + MaskSets."""
+        """Run one train step from host-side numpy batch + MaskSets.
+
+        With num_clips > 1 the loader delivers clips stacked along time
+        ([B, C*T, H, W, 3]); following the reference's semantics
+        (app/avjepa/train.py:397-423) clips concatenate along *batch* and each
+        sample's mask set is reused for all of its clips.
+        """
+        c = self.cfg.data.num_clips
+        if c > 1:
+            video = np.concatenate(np.split(np.asarray(video), c, axis=1), axis=0)
+            if audio is not None:
+                audio = np.concatenate([np.asarray(audio)] * c, axis=0)
+            masks = [
+                type(m)(
+                    enc=np.concatenate([m.enc] * c, axis=0),
+                    pred=np.concatenate([m.pred] * c, axis=0),
+                    enc_idx=(
+                        np.concatenate([m.enc_idx] * c, axis=0)
+                        if m.enc_idx is not None
+                        else None
+                    ),
+                )
+                for m in masks
+            ]
         out = stack_masksets(masks, with_idx=True)
         enc_m, pred_m, idx = out
         if not self.compact:

@@ -27,7 +27,7 @@ TARGET_FACTOR = 2.0
 def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20, attn: str = "flash"):
     import os
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/avjepa_jax_cache")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
