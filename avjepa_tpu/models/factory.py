@@ -138,8 +138,13 @@ def init_predictor_params(module: Predictor, rng: jax.Array) -> Any:
     lo = module.layout
     ctx = jnp.zeros((1, lo.num_tokens, module.embed_dim), jnp.float32)
     mask = jnp.ones((1, lo.num_tokens), bool)
+    kwargs = {}
+    if not module.use_mask_tokens:
+        # diffusion-fallback predictor traces the target/noise path at init
+        kwargs = {"target": ctx, "noise_rng": jax.random.key(0)}
+
     def init_fn(rng):
-        p = module.init(rng, ctx, mask, mask, 0)["params"]
+        p = module.init(rng, ctx, mask, mask, 0, **kwargs)["params"]
         return _rescale_block_stack(p)
 
     return jax.jit(init_fn)(rng)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -54,8 +55,16 @@ class Predictor(nn.Module):
         enc_mask: jnp.ndarray,
         pred_mask: jnp.ndarray,
         mask_index: int = 0,
+        target: Optional[jnp.ndarray] = None,
+        noise_rng: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """ctx: [B, N, D] dense encoder output; enc_mask/pred_mask: [B, N] bool.
+
+        With ``use_mask_tokens=False`` the target positions are seeded from
+        noised target embeddings instead of learnable mask tokens (the
+        reference's forward-diffusion fallback,
+        src/models/audiovisionpredictor.py:182-200,244-249): ``target`` is the
+        dense [B, N, D] target-encoder output and ``noise_rng`` a PRNG key.
 
         Returns [B, N, D] dense predictions (valid only at pred_mask positions).
         """
@@ -67,16 +76,39 @@ class Predictor(nn.Module):
             nn.initializers.zeros if self.zero_init_mask_tokens else clipped_normal_init()
         )
 
+        def _diffuse(x, rng, steps=1000, noise_beta=(0.5, 1.0)):
+            # forward-diffusion target noising (reference :182-200)
+            b1, b2 = noise_beta
+            betas = b1 + jnp.arange(steps, dtype=jnp.float32) * (b2 - b1) / steps
+            alphas = jnp.cumprod(1.0 - betas)
+            rt, rn = jax.random.split(rng)
+            t = jax.random.randint(rt, (x.shape[0],), 0, steps)
+            alpha = alphas[t][:, None, None]
+            mean = jnp.mean(x, axis=-1, keepdims=True)
+            var = jnp.var(x, axis=-1, keepdims=True)
+            xn = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+            noise = jax.random.normal(rn, x.shape, jnp.float32).astype(x.dtype)
+            return jnp.sqrt(alpha) * xn + jnp.sqrt(1.0 - alpha) * noise
+
         # --- video stream ---
-        x_v = nn.Dense(
+        embed_v = nn.Dense(
             dp, dtype=self.dtype, kernel_init=clipped_normal_init(), name="embed_v"
-        )(ctx[:, :nv])
+        )
+        x_v = embed_v(ctx[:, :nv])
         if self.use_mask_tokens:
             mask_tokens_v = self.param(
                 "mask_tokens_v", mt_init, (self.num_mask_tokens, dp), jnp.float32
             )
             mtv = mask_tokens_v[mask_index % self.num_mask_tokens].astype(self.dtype)
             x_v = jnp.where(pred_mask[:, :nv, None], mtv[None, None, :], x_v)
+        else:
+            assert target is not None and noise_rng is not None, (
+                "use_mask_tokens=False requires target embeddings + noise_rng "
+                "(diffusion fallback)"
+            )
+            rv, ra = jax.random.split(noise_rng)
+            noised_v = _diffuse(embed_v(target[:, :nv]), rv)
+            x_v = jnp.where(pred_mask[:, :nv, None], noised_v, x_v)
         vpe = (
             pe.sincos_3d(dp, lo.h_grid, lo.t_grid, uniform_power=self.uniform_power)
             if lo.num_frames > 1
@@ -86,15 +118,19 @@ class Predictor(nn.Module):
 
         # --- audio stream ---
         if lo.audio_enabled:
-            x_a = nn.Dense(
+            embed_a = nn.Dense(
                 dp, dtype=self.dtype, kernel_init=clipped_normal_init(), name="embed_a"
-            )(ctx[:, nv:])
+            )
+            x_a = embed_a(ctx[:, nv:])
             if self.use_mask_tokens:
                 mask_tokens_a = self.param(
                     "mask_tokens_a", mt_init, (self.num_mask_tokens, dp), jnp.float32
                 )
                 mta = mask_tokens_a[mask_index % self.num_mask_tokens].astype(self.dtype)
                 x_a = jnp.where(pred_mask[:, nv:, None], mta[None, None, :], x_a)
+            else:
+                noised_a = _diffuse(embed_a(target[:, nv:]), ra)
+                x_a = jnp.where(pred_mask[:, nv:, None], noised_a, x_a)
             ape = pe.sincos_2d_rect(dp, lo.ha_grid, lo.wa_grid)
             x_a = x_a + jnp.asarray(ape, dtype=self.dtype)[None]
             x = jnp.concatenate([x_v, x_a], axis=1)

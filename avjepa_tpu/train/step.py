@@ -78,7 +78,7 @@ def make_train_step(
     """
 
     def loss_fn(enc_params, pred_params, target_params, video, audio, enc_masks,
-                pred_masks, enc_idx):
+                pred_masks, enc_idx, step):
         num_cfgs = enc_masks.shape[0]
         n = enc_masks.shape[2]
 
@@ -86,6 +86,15 @@ def make_train_step(
         h = encoder.apply({"params": target_params}, video, audio)
         h = feature_layer_norm(h)
         h = jax.lax.stop_gradient(h)
+
+        # diffusion-fallback predictor (use_mask_tokens=False) needs the
+        # target embeddings + a per-step noise key
+        pred_kwargs = {}
+        if not predictor.use_mask_tokens:
+            pred_kwargs = {
+                "target": h,
+                "noise_rng": jax.random.fold_in(jax.random.key(0), step),
+            }
 
         loss_jepa = 0.0
         pstd_sum = 0.0
@@ -110,7 +119,7 @@ def make_train_step(
                     {"params": enc_params}, video, audio, key_mask=enc_m
                 )
             z = predictor.apply(
-                {"params": pred_params}, ctx, enc_m, pred_m, i
+                {"params": pred_params}, ctx, enc_m, pred_m, i, **pred_kwargs
             )
             loss_jepa = loss_jepa + jepa_loss(z, h, pred_m, step_cfg.loss_exp)
             # predictor variance across target tokens (reference reg_fn,
@@ -140,6 +149,7 @@ def make_train_step(
             enc_masks,
             pred_masks,
             enc_idx,
+            step,
         )
 
         # grad clip only after warmup epochs (reference: train.py:518-520)

@@ -1,0 +1,73 @@
+"""avprediction app: frozen-JEPA reconstruction probe training."""
+
+import numpy as np
+
+import jax
+
+from avjepa_tpu.config import load_config
+from avjepa_tpu.train import avprediction
+from avjepa_tpu.train.step import stack_masksets
+
+import jax.numpy as jnp
+
+
+def make_cfg(tmp_path):
+    return load_config({
+        "app": "avprediction",
+        "data": {
+            "dataset_type": "audiovideodataset",
+            "batch_size": 8,
+            "num_frames": 4,
+            "tubelet_size": 2,
+            "crop_size": 32,
+            "patch_size": 16,
+            "num_workers": 2,
+            "source": "synthetic",
+        },
+        "mask": [
+            {"aspect_ratio": [0.75, 1.5], "num_blocks": 1,
+             "spatial_scale": [0.7, 0.7], "temporal_scale": [1.0, 1.0]},
+        ],
+        "meta": {"seed": 3, "dtype": "float32"},
+        "model": {"model_name": "vit_tiny", "pred_depth": 2,
+                  "pred_embed_dim": 48, "uniform_power": True},
+        "optimization": {"ipe": 2, "epochs": 1, "warmup": 1},
+        "logging": {"folder": str(tmp_path), "write_tag": "avpred"},
+    })
+
+
+def test_probe_step_trains(tmp_path):
+    cfg = make_cfg(tmp_path)
+    handles, probe, probe_state, step_fn = avprediction.setup_probe(cfg)
+    video, audio, _, masks = next(iter(handles.loader))
+    enc_m, pred_m = stack_masksets(masks)
+    state = handles.state
+    losses = []
+    for _ in range(4):
+        probe_state, metrics = step_fn(
+            probe_state, state.target_params, state.pred_params,
+            jnp.asarray(video), jnp.asarray(audio),
+            jnp.asarray(enc_m), jnp.asarray(pred_m),
+        )
+        losses.append(float(jax.device_get(metrics["loss"])))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0], f"probe not learning: {losses}"
+
+
+def test_avprediction_run_and_example(tmp_path):
+    cfg = make_cfg(tmp_path)
+    summary = avprediction.run(cfg, max_steps=2)
+    assert np.isfinite(summary["avg_loss"])
+    out = avprediction.example_main(cfg.raw)
+    import os
+
+    assert os.path.exists(out)
+
+
+def test_av_prediction_eval(tmp_path):
+    from avjepa_tpu.evals.av_prediction import run as eval_run
+
+    cfg = make_cfg(tmp_path / "e")
+    summary = eval_run(cfg, max_batches=2)
+    assert np.isfinite(summary["mse_video"])
+    assert np.isfinite(summary["mse_audio"])

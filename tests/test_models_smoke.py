@@ -119,3 +119,32 @@ def test_rescale_applied():
     n0 = float(jnp.linalg.norm(k[0]))
     n1 = float(jnp.linalg.norm(k[1]))
     assert n1 < n0
+
+
+def test_predictor_diffusion_fallback():
+    """use_mask_tokens=False: target positions seeded from noised targets."""
+    pred = Predictor(
+        layout=TINY, embed_dim=32, predictor_embed_dim=16, depth=2, num_heads=2,
+        use_mask_tokens=False,
+    )
+    rng = np.random.default_rng(5)
+    ctx = jnp.asarray(rng.normal(size=(2, 14, 32)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(2, 14, 32)), jnp.float32)
+    enc_mask = np.zeros((2, 14), bool)
+    pred_mask = np.zeros((2, 14), bool)
+    enc_mask[:, :7] = True
+    pred_mask[:, 7:] = True
+    params = jax.jit(
+        lambda k: pred.init(
+            k, ctx, jnp.asarray(enc_mask), jnp.asarray(pred_mask), 0,
+            target=tgt, noise_rng=jax.random.key(1),
+        )["params"]
+    )(jax.random.key(0))
+    out = jax.jit(
+        lambda p: pred.apply(
+            {"params": p}, ctx, jnp.asarray(enc_mask), jnp.asarray(pred_mask), 0,
+            target=tgt, noise_rng=jax.random.key(2),
+        )
+    )(params)
+    assert out.shape == (2, 14, 32)
+    assert np.isfinite(np.asarray(out)).all()

@@ -134,3 +134,12 @@ def test_compact_matches_dense(tmp_path):
         float(jax.device_get(m_comp["loss"])),
         rtol=1e-5,
     )
+
+
+def test_diffusion_predictor_step(tmp_path):
+    """use_mask_tokens: false exercises the diffusion-fallback predictor."""
+    cfg = make_cfg(tmp_path, **{"model.use_mask_tokens": False})
+    handles = pretrain.setup(cfg)
+    video, audio, _, masks = next(iter(handles.loader))
+    state, metrics = handles.step(handles.state, video, audio, masks)
+    assert np.isfinite(float(jax.device_get(metrics["loss"])))
