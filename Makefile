@@ -1,0 +1,18 @@
+# avjepa_tpu build orchestration
+
+.PHONY: all native test bench clean
+
+all: native
+
+native:
+	$(MAKE) -C native
+
+test: native
+	python -m pytest tests/ -q
+
+bench: native
+	python bench.py
+
+clean:
+	$(MAKE) -C native clean
+	rm -rf .jax_cache_cpu

@@ -37,7 +37,7 @@ from avjepa_tpu.train.optim import (
     wd_mask,
 )
 from avjepa_tpu.utils.checkpoint import CheckpointManager
-from avjepa_tpu.utils.logging import AverageMeter, get_logger
+from avjepa_tpu.utils.logging import AverageMeter, CSVLogger, get_logger
 
 
 @dataclasses.dataclass
@@ -370,6 +370,11 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
         start_epoch = int(restored["epoch"])
         logger.info(f"resumed classifier at epoch {start_epoch}")
 
+    csv_logger = CSVLogger(
+        os.path.join(cfg.folder, f"{cfg.tag}_r{jax.process_index()}.csv"),
+        ("%d", "epoch"), ("%d", "itr"), ("%.5f", "loss"), ("%.3f", "acc"),
+        ("%.2e", "lr"),
+    )
     sampler = ShardedSampler(len(train_ds), cfg.batch_size, seed=cfg.seed)
     summary = {}
     total = 0
@@ -387,6 +392,10 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
             step = step + 1
             m = jax.device_get(m)
             meter.update(float(m["acc"]) * 100)
+            csv_logger.log(
+                epoch + 1, total, float(m["loss"]), float(m["acc"]) * 100,
+                float(m["lr"]),
+            )
             total += 1
             if max_steps is not None and total >= max_steps:
                 break

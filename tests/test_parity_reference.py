@@ -267,3 +267,72 @@ def test_predictor_forward_parity(ref_encoder, ref_predictor):
         ]
     )
     np.testing.assert_allclose(ours, ref_out, rtol=1e-3, atol=2e-4)
+
+
+def test_attentive_classifier_parity():
+    """Frozen-eval probe: our AttentiveClassifier vs the reference's."""
+    import functools
+    import sys
+
+    import torch.nn as tnn
+
+    sys.path.insert(0, "/root/reference")
+    from src.models.attentive_pooler import AttentiveClassifier as RefCls
+
+    from avjepa_tpu.models.attentive_pooler import AttentiveClassifier
+
+    dim, heads, classes, n = 96, 3, 7, 40
+    torch.manual_seed(3)
+    ref = RefCls(
+        embed_dim=dim, num_heads=heads, num_classes=classes, depth=1,
+        norm_layer=functools.partial(tnn.LayerNorm, eps=1e-6),
+    )
+    ref.eval()
+    disable_sdpa(ref)
+    sd = ref.state_dict()
+
+    def t2n(t):
+        return t.detach().numpy()
+
+    params = {
+        "pooler": {
+            "query_tokens": t2n(sd["pooler.query_tokens"]),
+            "cross_attention_block": {
+                "norm1": {
+                    "scale": t2n(sd["pooler.cross_attention_block.norm1.weight"]),
+                    "bias": t2n(sd["pooler.cross_attention_block.norm1.bias"]),
+                },
+                "xattn": {
+                    "q": {"kernel": t2n(sd["pooler.cross_attention_block.xattn.q.weight"]).T,
+                          "bias": t2n(sd["pooler.cross_attention_block.xattn.q.bias"])},
+                    "kv": {"kernel": t2n(sd["pooler.cross_attention_block.xattn.kv.weight"]).T,
+                           "bias": t2n(sd["pooler.cross_attention_block.xattn.kv.bias"])},
+                    "proj": {"kernel": t2n(sd["pooler.cross_attention_block.xattn.proj.weight"]).T,
+                             "bias": t2n(sd["pooler.cross_attention_block.xattn.proj.bias"])},
+                },
+                "norm2": {
+                    "scale": t2n(sd["pooler.cross_attention_block.norm2.weight"]),
+                    "bias": t2n(sd["pooler.cross_attention_block.norm2.bias"]),
+                },
+                "mlp": {
+                    "fc1": {"kernel": t2n(sd["pooler.cross_attention_block.mlp.fc1.weight"]).T,
+                            "bias": t2n(sd["pooler.cross_attention_block.mlp.fc1.bias"])},
+                    "fc2": {"kernel": t2n(sd["pooler.cross_attention_block.mlp.fc2.weight"]).T,
+                            "bias": t2n(sd["pooler.cross_attention_block.mlp.fc2.bias"])},
+                },
+            },
+        },
+        "linear": {"kernel": t2n(sd["linear.weight"]).T, "bias": t2n(sd["linear.bias"])},
+    }
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, n, dim)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    cls = AttentiveClassifier(
+        embed_dim=dim, num_heads=heads, num_classes=classes, depth=1,
+        qkv_bias=True,
+    )
+    out = jax.jit(cls.apply)({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=5e-4, atol=5e-5)
