@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Iterator, Optional, Sequence
 
 import numpy as np
@@ -20,6 +20,28 @@ import numpy as np
 import jax
 
 from avjepa_tpu.masks.multiblock3d import MaskSet
+
+# process-worker state: the dataset is shipped once per worker via the pool
+# initializer (bound methods would drag unpicklable pool/lock state along)
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _fetch_worker(idx: int):
+    # retry-resample loop on decode failure
+    # (reference: src/datasets/audiovideo_dataset.py:163-170)
+    for attempt in range(10):
+        try:
+            return _WORKER_DATASET[int(idx)]
+        except Exception:
+            idx = np.random.default_rng([int(idx), attempt]).integers(
+                0, len(_WORKER_DATASET)
+            )
+    raise RuntimeError("persistent decode failure")
 
 
 class ShardedSampler:
@@ -87,13 +109,27 @@ class JepaLoader:
         mask_collator=None,
         num_workers: int = 4,
         prefetch: int = 2,
+        use_processes: bool = False,
     ):
         self.dataset = dataset
         self.sampler = sampler
         self.mask_collator = mask_collator
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
-        self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        self.use_processes = use_processes
+        if use_processes:
+            # process workers sidestep the GIL for the numpy stages (mel,
+            # normalize); the torch-DataLoader-equivalent mode
+            import multiprocessing as mp
+
+            self._pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=mp.get_context("fork"),
+                initializer=_init_worker,
+                initargs=(dataset,),
+            )
+        else:
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
 
     def set_epoch(self, epoch: int) -> None:
         self.sampler.set_epoch(epoch)
@@ -111,7 +147,11 @@ class JepaLoader:
         raise RuntimeError("persistent decode failure")
 
     def _assemble(self, indices: np.ndarray):
-        samples = list(self._pool.map(self._fetch, indices))
+        fetch = _fetch_worker if self.use_processes else self._fetch
+        if self.use_processes:
+            samples = list(self._pool.map(fetch, [int(i) for i in indices]))
+        else:
+            samples = list(self._pool.map(fetch, indices))
         video = np.stack([s[0] for s in samples])
         audio = None
         if samples[0][1] is not None:

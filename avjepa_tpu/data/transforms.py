@@ -74,6 +74,14 @@ def sample_crop_box(
     return (h - ch) // 2, (w - cw) // 2, ch, cw
 
 
+def _interp_boxes(box0, box1, t: int) -> np.ndarray:
+    rects = np.empty((t, 4), np.int32)
+    for i in range(t):
+        a = i / max(t - 1, 1)
+        rects[i] = [int(round(box0[j] * (1 - a) + box1[j] * a)) for j in range(4)]
+    return rects
+
+
 def random_resized_crop(
     clip: np.ndarray,
     out_size: int,
@@ -84,17 +92,30 @@ def random_resized_crop(
 ) -> np.ndarray:
     """[T, H, W, C] -> [T, out, out, C]. With motion_shift, the box corners
     interpolate between two sampled boxes across time
-    (reference: transforms.py:580-623)."""
+    (reference: transforms.py:580-623).
+
+    uint8 RGB clips take the native libswscale path (SIMD, GIL-free) — the
+    numpy bilinear was the host pipeline's bottleneck; float inputs (synthetic
+    data, post-autoaugment) use the numpy path.
+    """
     t, h, w = clip.shape[:3]
     box0 = sample_crop_box(h, w, scale, ratio, rng)
     box1 = sample_crop_box(h, w, scale, ratio, rng) if motion_shift else box0
+    rects = _interp_boxes(box0, box1, t)
+
+    if clip.dtype == np.uint8 and clip.shape[3] == 3:
+        try:
+            from avjepa_tpu.data.video_decoder import crop_resize_rgb
+
+            return crop_resize_rgb(clip, rects, out_size, out_size).astype(
+                np.float32
+            )
+        except Exception:
+            pass  # fall back to numpy (native lib unavailable)
+
     out = np.empty((t, out_size, out_size, clip.shape[3]), np.float32)
     for i in range(t):
-        a = i / max(t - 1, 1)
-        top = int(round(box0[0] * (1 - a) + box1[0] * a))
-        left = int(round(box0[1] * (1 - a) + box1[1] * a))
-        ch = int(round(box0[2] * (1 - a) + box1[2] * a))
-        cw = int(round(box0[3] * (1 - a) + box1[3] * a))
+        top, left, ch, cw = rects[i]
         crop = clip[i, top : top + ch, left : left + cw].astype(np.float32)
         out[i] = _bilinear_resize(crop, out_size, out_size)
     return out
@@ -164,8 +185,8 @@ class VideoTransform:
         )
         if self.horizontal_flip and rng.random() < 0.5:
             clip = clip[:, :, ::-1]
-        clip = clip / 255.0
-        clip = (clip - self.mean) / self.std
+        # fused normalize: (x/255 - mean)/std == (x - 255*mean) * 1/(255*std)
+        clip = (clip - self.mean * 255.0) * (1.0 / (self.std * 255.0))
         if self.reprob > 0:
             clip = random_erasing(np.ascontiguousarray(clip), rng, prob=self.reprob)
         return np.ascontiguousarray(clip, np.float32)

@@ -59,8 +59,38 @@ def _load_lib() -> ctypes.CDLL:
             ctypes.c_double, ctypes.c_int,
         ]
         lib.avdec_write_test_video.restype = ctypes.c_int
+    if hasattr(lib, "avdec_crop_resize_rgb"):
+        lib.avdec_crop_resize_rgb.argtypes = [
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+        ]
+        lib.avdec_crop_resize_rgb.restype = ctypes.c_int
     _LIB = lib
     return lib
+
+
+def crop_resize_rgb(
+    frames: np.ndarray, rects: np.ndarray, out_h: int, out_w: int
+) -> np.ndarray:
+    """Batched per-frame crop + bilinear resize via libswscale (GIL-free).
+
+    frames: [T, H, W, 3] uint8 contiguous; rects: [T, 4] int32
+    (top, left, crop_h, crop_w). Returns [T, out_h, out_w, 3] uint8.
+    """
+    lib = _load_lib()
+    frames = np.ascontiguousarray(frames, np.uint8)
+    rects = np.ascontiguousarray(rects, np.int32)
+    t, h, w = frames.shape[:3]
+    out = np.empty((t, out_h, out_w, 3), np.uint8)
+    rc = lib.avdec_crop_resize_rgb(
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), t, h, w,
+        rects.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), out_h, out_w,
+    )
+    if rc != 0:
+        raise ValueError(f"crop_resize failed ({rc})")
+    return out
 
 
 class VideoFile:

@@ -228,7 +228,11 @@ def setup(cfg: ExperimentConfig, mesh=None) -> TrainHandles:
         weights=weights,
     )
     loader = JepaLoader(
-        dataset, sampler, mask_collator=collator, num_workers=cfg.data.num_workers
+        dataset,
+        sampler,
+        mask_collator=collator,
+        num_workers=cfg.data.num_workers,
+        use_processes=cfg.data.source != "synthetic" and cfg.data.num_workers > 1,
     )
     return TrainHandles(
         cfg=cfg,

@@ -395,3 +395,43 @@ done:
   }
   return err;
 }
+
+// ---------------------------------------------------------------------------
+// Batched crop + resize of decoded RGB frames (the hot host-side transform).
+// rects: t * 4 ints (top, left, crop_h, crop_w) per frame; bilinear resize of
+// each cropped region to (out_h, out_w). libswscale SIMD, GIL-free via ctypes.
+// ---------------------------------------------------------------------------
+
+extern "C" int avdec_crop_resize_rgb(const unsigned char* in, int t, int h,
+                                     int w, const int* rects,
+                                     unsigned char* out, int out_h, int out_w) {
+  SwsContext* sws = nullptr;
+  int last_cw = -1, last_ch = -1;
+  const size_t in_frame = (size_t)h * w * 3;
+  const size_t out_frame = (size_t)out_h * out_w * 3;
+  for (int i = 0; i < t; ++i) {
+    int top = rects[i * 4 + 0];
+    int left = rects[i * 4 + 1];
+    int ch = rects[i * 4 + 2];
+    int cw = rects[i * 4 + 3];
+    if (top < 0 || left < 0 || ch <= 0 || cw <= 0 || top + ch > h ||
+        left + cw > w)
+      return -40;
+    if (ch != last_ch || cw != last_cw) {
+      if (sws) sws_freeContext(sws);
+      sws = sws_getContext(cw, ch, AV_PIX_FMT_RGB24, out_w, out_h,
+                           AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr,
+                           nullptr);
+      if (!sws) return -41;
+      last_ch = ch;
+      last_cw = cw;
+    }
+    const uint8_t* src[1] = {in + i * in_frame + ((size_t)top * w + left) * 3};
+    int src_stride[1] = {w * 3};
+    uint8_t* dst[1] = {out + i * out_frame};
+    int dst_stride[1] = {out_w * 3};
+    sws_scale(sws, src, src_stride, 0, ch, dst, dst_stride);
+  }
+  if (sws) sws_freeContext(sws);
+  return 0;
+}
