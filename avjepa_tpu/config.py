@@ -35,6 +35,9 @@ class DataConfig:
     filter_short_videos: bool = False
     clip_duration: Optional[float] = None
     datasets_weights: Optional[Sequence[float]] = None
+    # fast-forward the data stream by N batches at startup
+    # (reference: app/avjepa/train.py:356-366)
+    skip_batches: int = 0
     # TPU build extension: 'synthetic' generates deterministic fake AV clips
     # (for tests/benches without media files).
     source: str = "files"

@@ -134,6 +134,15 @@ class JepaLoader:
     def set_epoch(self, epoch: int) -> None:
         self.sampler.set_epoch(epoch)
 
+    def close(self) -> None:
+        self._pool.shutdown(wait=False, cancel_futures=True)
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def _fetch(self, idx: int):
         # retry-resample loop on decode failure
         # (reference: src/datasets/audiovideo_dataset.py:163-170)

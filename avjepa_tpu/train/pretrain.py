@@ -293,6 +293,13 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
     summary = {}
     loss_meter = AverageMeter()
     data_iter = iter(handles.loader)
+    if cfg.data.skip_batches > 0:
+        logger.info(f"skipping {cfg.data.skip_batches} batches")
+        for _ in range(cfg.data.skip_batches):
+            try:
+                next(data_iter)
+            except StopIteration:
+                data_iter = iter(handles.loader)
     for epoch in range(start_epoch, cfg.optimization.epochs):
         handles.loader.set_epoch(epoch)
         loss_meter.reset()
