@@ -156,3 +156,46 @@ def test_eval_transform_views():
     assert len(views) == 3
     for v in views:
         assert v.shape == (4, 64, 64, 3)
+
+
+def test_sharded_sampler_multihost():
+    """Shards partition the (padded) index space; epochs reshuffle."""
+    from avjepa_tpu.data.loader import ShardedSampler
+
+    n, bs = 103, 4
+    shards = [
+        ShardedSampler(n, bs, seed=5, num_shards=4, shard_index=i)
+        for i in range(4)
+    ]
+    batches = [np.concatenate(list(s)) for s in shards]
+    allidx = np.concatenate(batches)
+    # each shard sees a disjoint-ish slice of the permutation; drop_last
+    # discards up to bs-1 indices per shard and wrap-around padding may
+    # duplicate up to num_shards-1
+    assert len(allidx) == sum(len(b) for b in batches)
+    assert len(np.unique(allidx)) >= n - 4 * (bs - 1) - 4
+    # same epoch, same seed -> deterministic across ranks
+    again = np.concatenate(list(ShardedSampler(n, bs, seed=5, num_shards=4, shard_index=0)))
+    np.testing.assert_array_equal(batches[0], again)
+    # epoch reshuffles
+    s = ShardedSampler(n, bs, seed=5, num_shards=4, shard_index=0)
+    s.set_epoch(1)
+    assert not np.array_equal(np.concatenate(list(s)), batches[0])
+
+
+def test_mask_collator_cross_host_agreement():
+    """Two hosts with the same base_seed/counter produce identical masks
+    (the reference's shared-Value discipline)."""
+    from avjepa_tpu.layout import TokenLayout
+    from avjepa_tpu.masks import AVMaskCollator
+
+    lo = TokenLayout()
+    cfgs = [{"aspect_ratio": [0.75, 1.5], "num_blocks": 4,
+             "spatial_scale": [0.2, 0.2], "temporal_scale": [1.0, 1.0]}]
+    host0 = AVMaskCollator(cfgs, lo, base_seed=11)
+    host1 = AVMaskCollator(cfgs, lo, base_seed=11)
+    for _ in range(3):
+        m0 = host0(4)[0]
+        m1 = host1(4)[0]
+        np.testing.assert_array_equal(m0.enc, m1.enc)
+        np.testing.assert_array_equal(m0.pred, m1.pred)
