@@ -230,3 +230,127 @@ def test_train_step_parity_vs_reference():
     np.testing.assert_allclose(jax_losses, ref_losses, rtol=2e-3)
     # the losses must actually move (optimizer applied)
     assert abs(jax_losses[-1] - jax_losses[0]) > 1e-4
+
+
+def test_train_step_parity_with_grad_clip():
+    """Clip-active regime: per-model global-norm clip must match
+    torch.nn.utils.clip_grad_norm_ (reference: train.py:518-520 clips when
+    epoch > warmup; with ipe=1 steps 1+ are clipped)."""
+    enc_t, pred_t, target_t = make_ref_models()
+
+    encoder = Encoder(layout=LAYOUT, embed_dim=EMBED, depth=DEPTH,
+                      num_heads=HEADS, uniform_power=True)
+    predictor = Predictor(layout=LAYOUT, embed_dim=EMBED,
+                          predictor_embed_dim=PRED_EMBED, depth=PRED_DEPTH,
+                          num_heads=HEADS, uniform_power=True,
+                          use_mask_tokens=True, num_mask_tokens=2,
+                          zero_init_mask_tokens=True)
+    enc_params = torch_encoder_to_params(enc_t, DEPTH)
+    pred_params = torch_predictor_to_params(pred_t, PRED_DEPTH)
+    state = init_state(
+        jax.tree_util.tree_map(jnp.asarray, enc_params),
+        jax.tree_util.tree_map(jnp.asarray, pred_params),
+    )
+
+    sched_d = dict(SCHED, ipe=1, warmup_epochs=0)
+    sched = ScheduleConfig(
+        ipe=1, num_epochs=SCHED["num_epochs"], ipe_scale=SCHED["ipe_scale"],
+        warmup_epochs=0, start_lr=SCHED["start_lr"], ref_lr=SCHED["ref_lr"],
+        final_lr=SCHED["final_lr"], ref_wd=SCHED["ref_wd"],
+        final_wd=SCHED["final_wd"], ema_start=SCHED["ema_start"],
+        ema_end=SCHED["ema_end"],
+    )
+    clip = 1e-4  # below the observed grad norms, so clipping fires
+    step_cfg = StepConfig(loss_exp=1.0, reg_coeff=0.0, clip_grad=clip,
+                          warmup_epochs=0, ipe=1)
+    step_fn = jax.jit(make_train_step(encoder, predictor, sched, step_cfg))
+
+    rng = np.random.default_rng(77)
+    videos = [rng.normal(size=(BATCH, FRAMES, CROP, CROP, 3)).astype(np.float32)
+              for _ in range(STEPS)]
+    audios = [rng.normal(size=(BATCH, 128, 192, 1)).astype(np.float32)
+              for _ in range(STEPS)]
+    coll = AVMaskCollator(
+        [{"aspect_ratio": [0.75, 1.5], "num_blocks": 1,
+          "spatial_scale": [0.5, 0.5], "temporal_scale": [1.0, 1.0]}],
+        LAYOUT, base_seed=21,
+    )
+    all_masks = [coll(BATCH) for _ in range(STEPS)]
+    mask_lists = [masks_to_index_lists(m) for m in all_masks]
+
+    # torch side with clipping (epoch = step since ipe=1; clip when epoch > 0)
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from src.utils.schedulers import CosineWDSchedule, WarmupCosineSchedule
+
+    param_groups = [
+        {"params": [p for n, p in enc_t.named_parameters()
+                    if ("bias" not in n) and (len(p.shape) != 1)]},
+        {"params": [p for n, p in pred_t.named_parameters()
+                    if ("bias" not in n) and (len(p.shape) != 1)]},
+        {"params": [p for n, p in enc_t.named_parameters()
+                    if ("bias" in n) or (len(p.shape) == 1)],
+         "WD_exclude": True, "weight_decay": 0},
+        {"params": [p for n, p in pred_t.named_parameters()
+                    if ("bias" in n) or (len(p.shape) == 1)],
+         "WD_exclude": True, "weight_decay": 0},
+    ]
+    opt = torch.optim.AdamW(param_groups, betas=(0.9, 0.999), eps=1e-8)
+    total = int(sched_d["ipe_scale"] * sched_d["num_epochs"] * sched_d["ipe"])
+    scheduler = WarmupCosineSchedule(
+        opt, warmup_steps=0, start_lr=sched_d["start_lr"],
+        ref_lr=sched_d["ref_lr"], final_lr=sched_d["final_lr"], T_max=total)
+    wd_scheduler = CosineWDSchedule(
+        opt, ref_wd=sched_d["ref_wd"], final_wd=sched_d["final_wd"], T_max=total)
+    e0, e1 = sched_d["ema_start"], sched_d["ema_end"]
+    momentum = (e0 + i * (e1 - e0) / total for i in range(total + 1))
+
+    nv = LAYOUT.num_video_tokens
+    ref_losses = []
+    for step in range(STEPS):
+        scheduler.step()
+        wd_scheduler.step()
+        tv = torch.from_numpy(videos[step].transpose(0, 4, 1, 2, 3))
+        ta = torch.from_numpy(audios[step].transpose(0, 3, 1, 2))
+        (ev, ea, pv, pa) = mask_lists[step][0]
+        with torch.no_grad():
+            h = target_t(tv, ta)
+            h = torch.nn.functional.layer_norm(h, (h.size(-1),))
+            hv, ha = torch.split(h, [nv, LAYOUT.num_audio_tokens], dim=1)
+        z = enc_t(tv, ta, masks=(ev, ea))
+        zv, za = torch.split(z, [ev.shape[1], ea.shape[1]], dim=1)
+        out = pred_t((zv, za),
+                     (torch.zeros(BATCH, pv.shape[1], EMBED),
+                      torch.zeros(BATCH, pa.shape[1], EMBED)),
+                     (ev, ea), (pv, pa), mask_index=0)
+        tgt = torch.cat(
+            [torch.gather(hv, 1, pv.unsqueeze(-1).expand(-1, -1, EMBED)),
+             torch.gather(ha, 1, pa.unsqueeze(-1).expand(-1, -1, EMBED))], dim=1)
+        loss = torch.mean(torch.abs(out - tgt))
+        loss.backward()
+        epoch = step  # ipe=1
+        if epoch > 0:
+            torch.nn.utils.clip_grad_norm_(enc_t.parameters(), clip)
+            torch.nn.utils.clip_grad_norm_(pred_t.parameters(), clip)
+        opt.step()
+        opt.zero_grad()
+        m = next(momentum)
+        with torch.no_grad():
+            for pq, pk in zip(enc_t.parameters(), target_t.parameters()):
+                pk.data.mul_(m).add_((1.0 - m) * pq.detach().data)
+        ref_losses.append(float(loss.detach()))
+
+    jax_losses = []
+    state_j = state
+    for stp in range(STEPS):
+        enc_m, pred_m = stack_masksets(all_masks[stp])
+        state_j, metrics = step_fn(
+            state_j, jnp.asarray(videos[stp]), jnp.asarray(audios[stp]),
+            jnp.asarray(enc_m), jnp.asarray(pred_m),
+        )
+        jax_losses.append(float(jax.device_get(metrics["loss"])))
+
+    np.testing.assert_allclose(jax_losses, ref_losses, rtol=2e-3)
+    # verify clipping actually fired on both sides (grad norms >> clip)
+    assert float(jax.device_get(metrics["enc_grad_norm"])) > clip
