@@ -33,6 +33,7 @@ class DataConfig:
     pin_mem: bool = True
     decode_one_clip: bool = True
     filter_short_videos: bool = False
+    filter_long_videos: int = int(1e9)  # bytes (reference filters by file size)
     clip_duration: Optional[float] = None
     datasets_weights: Optional[Sequence[float]] = None
     # fast-forward the data stream by N batches at startup

@@ -84,6 +84,7 @@ def build_dataset(cfg: ExperimentConfig, layout):
         num_clips=cfg.data.num_clips,
         random_clip_sampling=True,
         filter_short_videos=cfg.data.filter_short_videos,
+        filter_long_videos=cfg.data.filter_long_videos,
         duration=cfg.data.clip_duration,
         crop_size=cfg.data.crop_size,
         random_resize_scale=tuple(cfg.data_aug.random_resize_scale),
@@ -341,7 +342,20 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
             or epoch == cfg.optimization.epochs - 1
             or (max_steps is not None and total >= max_steps)
         ):
-            ckpt.save(int(jax.device_get(state.step)), jax.device_get(state))
+            host_state = jax.device_get(state)
+            ckpt.save(int(jax.device_get(state.step)), host_state)
+            # tagged archive copies every save_every_freq epochs
+            # (reference: train.py:639-644) — kept forever, outside the
+            # rolling latest window
+            if (
+                cfg.logging.save_every_freq > 0
+                and epoch % cfg.logging.save_every_freq == 0
+            ):
+                archive = CheckpointManager(
+                    os.path.join(folder, f"{tag}-archive"), max_to_keep=10_000
+                )
+                archive.save(int(jax.device_get(state.step)), host_state)
+                archive.close()
         summary = {
             "epoch": epoch + 1,
             "avg_loss": loss_meter.avg,
