@@ -63,6 +63,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# params below this element count are replicated rather than fsdp-sharded
+# (a ViT-L qkv kernel is 3.1M elements; patch-embed kernels are ~0.4M for
+# video, 49k for audio; biases/LN are tiny)
+_FSDP_MIN_SIZE = 2**17
+
+
 def _param_spec(path: tuple, x: Any, tensor_axis: bool, fsdp_axis: bool) -> P:
     """Sharding rule for one parameter.
 
@@ -75,17 +81,19 @@ def _param_spec(path: tuple, x: Any, tensor_axis: bool, fsdp_axis: bool) -> P:
     ndim = x.ndim
     spec: list = [None] * ndim
 
-    def dims_divisible(d, axis_size):
-        return x.shape[d] % axis_size > -1  # placeholder, validated at use
-
     if tensor_axis and ndim >= 2:
         # depth-stacked kernels: [L, in, out]; plain kernels: [in, out]
         if any(s in name for s in ("qkv/kernel", "fc1/kernel", "q/kernel", "kv/kernel")):
             spec[ndim - 1] = "tensor"
         elif any(s in name for s in ("proj/kernel", "fc2/kernel")) and "patch_embed" not in name:
             spec[ndim - 2] = "tensor"
-    if fsdp_axis and ndim >= 2:
-        # shard the largest remaining dim over fsdp
+    # FSDP: shard the largest remaining dim — but only for params that are
+    # actually large. Sharding tiny tensors (patch-embed conv kernels, pos
+    # embeds) saves nothing and makes XLA's sharding propagation reshard the
+    # *input activations* to match (observed: the audio batch [B,128,192] was
+    # involuntarily fully rematerialized to align with a 192-out-channel
+    # fsdp-sharded patch-embed kernel).
+    if fsdp_axis and ndim >= 2 and x.size >= _FSDP_MIN_SIZE and "patch_embed" not in name:
         free = [d for d in range(ndim) if spec[d] is None]
         if free:
             d = max(free, key=lambda i: x.shape[i])
