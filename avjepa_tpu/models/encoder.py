@@ -63,7 +63,9 @@ class BlockStack(nn.Module):
             block_cls = nn.remat(
                 _ScanBlock,
                 prevent_cse=False,
-                policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "attn_lse"
+                ),
             )
         scanned = nn.scan(
             block_cls,

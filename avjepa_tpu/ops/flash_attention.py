@@ -68,6 +68,28 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         # keep dot operands in the input dtype (bf16 MXU passes); accumulate
         # and keep softmax statistics in f32
         q = q_ref[0, pl.ds(qi * block_q, block_q), :]
+
+        if nk == 1:
+            # single full-width K block (the common JEPA-size configuration):
+            # plain softmax, no streaming-correction sweeps over the score tile
+            s = jax.lax.dot_general(
+                q, k_ref[0, :, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if mask_ref is not None:
+                s = s + mask_ref[0, 0:1, :]
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            acc = jax.lax.dot_general(
+                p.astype(q.dtype), v_ref[0, :, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            l_safe = jnp.maximum(l, 1e-30)
+            o_ref[0, pl.ds(qi * block_q, block_q), :] = (acc / l_safe).astype(o_ref.dtype)
+            lse_ref[0, pl.ds(qi * block_q, block_q), :] = m + jnp.log(l_safe)
+            return 0
+
         m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((block_q, 1), jnp.float32)
         acc0 = jnp.zeros((block_q, q.shape[1]), jnp.float32)
@@ -106,7 +128,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     jax.lax.fori_loop(0, nq, q_block, 0)
 
 
-def _flash_fwd(q, k, v, key_mask, scale, block_q, block_k):
+def _flash_fwd(q, k, v, key_mask, scale, block_q, block_k, h):
     bh, n, d = q.shape
     nq, nk = n // block_q, n // block_k
 
@@ -116,8 +138,9 @@ def _flash_fwd(q, k, v, key_mask, scale, block_q, block_k):
         pl.BlockSpec((1, n, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
     if key_mask is not None:
+        # per-batch bias [B, 1, N], shared across heads via the index map
         in_specs.append(
-            pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, n), lambda b: (b // h, 0, 0), memory_space=pltpu.VMEM)
         )
 
     def kernel(*refs):
@@ -156,52 +179,16 @@ def _flash_fwd(q, k, v, key_mask, scale, block_q, block_k):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref, dq_ref,
-                   *, scale, block_q, block_k, nq, nk):
-    def q_block(qi, _):
-        sl = pl.ds(qi * block_q, block_q)
-        q = q_ref[0, sl, :]
-        do = do_ref[0, sl, :]
-        o = o_ref[0, sl, :]
-        lse = lse_ref[0, sl, :]
-        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
-                        axis=1, keepdims=True)
-        dq0 = jnp.zeros((block_q, q.shape[1]), jnp.float32)
+def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref,
+                dq_ref, dk_ref, dv_ref, dq_acc,
+                *, scale, block_q, block_k, nq, nk):
+    """Fused dq/dk/dv backward: one pass over (k-block, q-block) pairs computes
+    the score/probability tile ONCE and derives all three gradients from it
+    (the classic split dq-kernel + dkv-kernel formulation pays the q@k^T matmul
+    and the exp sweep twice). dq contributions accumulate in an f32 VMEM
+    scratch across k-blocks. Invalid keys get p = 0 via the additive mask, so
+    their dk/dv stay zero; fully-masked k-blocks are skipped."""
 
-        def body(i, dq):
-            k = k_ref[0, pl.ds(i * block_k, block_k), :]
-            v = v_ref[0, pl.ds(i * block_k, block_k), :]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale
-            if mask_ref is not None:
-                s = s + mask_ref[0, 0:1, pl.ds(i * block_k, block_k)]
-            p = jnp.exp(s - lse)
-            dp = jax.lax.dot_general(
-                do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            ds = p * (dp - delta) * scale
-            return dq + jax.lax.dot_general(
-                ds.astype(q.dtype), k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        def maybe_body(i, dq):
-            if mask_ref is None:
-                return body(i, dq)
-            any_valid = jnp.max(mask_ref[0, 0:1, pl.ds(i * block_k, block_k)]) > -1.0
-            return jax.lax.cond(any_valid, lambda c: body(i, c), lambda c: c, dq)
-
-        dq = jax.lax.fori_loop(0, nk, maybe_body, dq0)
-        dq_ref[0, sl, :] = dq.astype(dq_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, nq, q_block, 0)
-
-
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref,
-                    dk_ref, dv_ref, *, scale, block_q, block_k, nq, nk):
-    # invalid keys get p = 0 via the s-mask, so their dk/dv stay zero.
     def k_block(ki, _):
         ksl = pl.ds(ki * block_k, block_k)
         k = k_ref[0, ksl, :]
@@ -210,9 +197,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref,
         dk0 = jnp.zeros((block_k, k.shape[1]), jnp.float32)
         dv0 = jnp.zeros((block_k, k.shape[1]), jnp.float32)
 
-        def body(i, carry):
+        def q_block(qi, carry):
             dk, dv = carry
-            qsl = pl.ds(i * block_q, block_q)
+            qsl = pl.ds(qi * block_q, block_q)
             q = q_ref[0, qsl, :]
             do = do_ref[0, qsl, :]
             o = o_ref[0, qsl, :]
@@ -233,17 +220,29 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref,
                 do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
             ds = p * (dp - delta) * scale
+            ds_lo = ds.astype(q.dtype)
             dk_new = dk + jax.lax.dot_general(
-                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                ds_lo, q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            dq_part = jax.lax.dot_general(
+                ds_lo, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if nk == 1:
+                dq_acc[qsl, :] = dq_part
+            else:
+                dq_acc[qsl, :] += dq_part
             return dk_new, dv_new
 
         def run(carry):
-            return jax.lax.fori_loop(0, nq, body, carry)
+            return jax.lax.fori_loop(0, nq, q_block, carry)
 
-        if mask_ref is not None:
-            any_valid = jnp.max(mask_ref[0, 0:1, ksl]) > -1.0
+        if own is not None and nk > 1:
+            # NOTE: skipping is only safe when dq_acc was pre-zeroed (nk > 1
+            # initializes below); with nk == 1 a skip would leave dq garbage,
+            # and a fully-masked full-width block cannot occur for real rows.
+            any_valid = jnp.max(own) > -1.0
             dk, dv = jax.lax.cond(any_valid, run, lambda c: c, (dk0, dv0))
         else:
             dk, dv = run((dk0, dv0))
@@ -251,62 +250,75 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref,
         dv_ref[0, ksl, :] = dv.astype(dv_ref.dtype)
         return 0
 
+    if nk > 1:
+        dq_acc[...] = jnp.zeros_like(dq_acc)
     jax.lax.fori_loop(0, nk, k_block, 0)
 
+    def write_dq(qi, _):
+        qsl = pl.ds(qi * block_q, block_q)
+        dq_ref[0, qsl, :] = dq_acc[qsl, :].astype(dq_ref.dtype)
+        return 0
 
-def _flash_bwd(q, k, v, key_mask, o, lse, do, scale, block_q, block_k):
+    jax.lax.fori_loop(0, nq, write_dq, 0)
+
+
+def _bwd_block_q(n_pad: int, block_k: int, s_budget_bytes: int = 1_250_000) -> int:
+    """The fused backward holds ~4 f32 + 2 bf16 [bq, bk] tiles live at once
+    (s, p, dp, ds + the two bf16 dot operands), so its q-block must be smaller
+    than the forward's to stay inside the 16 MB scoped-VMEM limit: cap the
+    f32 score tile at ~1.25 MB (~7.5 MB of live tiles)."""
+    budget_rows = max(s_budget_bytes // (4 * block_k), 8)
+    best = 8
+    for k in range(1, n_pad // 8 + 1):
+        if n_pad % k:
+            continue
+        bq = n_pad // k
+        if bq % 8 == 0 and bq <= budget_rows:
+            return bq
+    return best
+
+
+def _flash_bwd(q, k, v, key_mask, o, lse, do, scale, block_q, block_k, h):
     bh, n, d = q.shape
+    block_q = min(block_q, _bwd_block_q(n, block_k))
     nq, nk = n // block_q, n // block_k
 
+    # the additive mask bias is stored once per *batch* row ([B, 1, N]) and
+    # shared by all H heads via the index map — not repeated H times in HBM
     mask_spec = (
-        [pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)]
+        [pl.BlockSpec((1, 1, n), lambda b: (b // h, 0, 0), memory_space=pltpu.VMEM)]
         if key_mask is not None
         else []
     )
     row_spec = pl.BlockSpec((1, n, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     lse_spec = pl.BlockSpec((1, n, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
 
-    def dq_kernel(*refs):
+    def kernel(*refs):
         if key_mask is not None:
-            q_ref, k_ref, v_ref, m_ref, do_ref, o_ref, lse_ref, dq_ref = refs
+            (q_ref, k_ref, v_ref, m_ref, do_ref, o_ref, lse_ref,
+             dq_ref, dk_ref, dv_ref, dq_acc) = refs
         else:
-            q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref = refs
+            (q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+             dq_ref, dk_ref, dv_ref, dq_acc) = refs
             m_ref = None
-        _bwd_dq_kernel(
-            q_ref, k_ref, v_ref, m_ref, do_ref, o_ref, lse_ref, dq_ref,
+        _bwd_kernel(
+            q_ref, k_ref, v_ref, m_ref, do_ref, o_ref, lse_ref,
+            dq_ref, dk_ref, dv_ref, dq_acc,
             scale=scale, block_q=block_q, block_k=block_k, nq=nq, nk=nk,
         )
 
     args = [q, k, v] + ([key_mask] if key_mask is not None else []) + [do, o, lse]
-    dq = pl.pallas_call(
-        dq_kernel,
+    dq, dk, dv = pl.pallas_call(
+        kernel,
         grid=(bh,),
         in_specs=[row_spec, row_spec, row_spec, *mask_spec, row_spec, row_spec, lse_spec],
-        out_specs=row_spec,
-        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
-        interpret=_interpret(),
-    )(*args)
-
-    def dkv_kernel(*refs):
-        if key_mask is not None:
-            q_ref, k_ref, v_ref, m_ref, do_ref, o_ref, lse_ref, dk_ref, dv_ref = refs
-        else:
-            q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dk_ref, dv_ref = refs
-            m_ref = None
-        _bwd_dkv_kernel(
-            q_ref, k_ref, v_ref, m_ref, do_ref, o_ref, lse_ref, dk_ref, dv_ref,
-            scale=scale, block_q=block_q, block_k=block_k, nq=nq, nk=nk,
-        )
-
-    dk, dv = pl.pallas_call(
-        dkv_kernel,
-        grid=(bh,),
-        in_specs=[row_spec, row_spec, row_spec, *mask_spec, row_spec, row_spec, lse_spec],
-        out_specs=[row_spec, row_spec],
+        out_specs=[row_spec, row_spec, row_spec],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n, d), q.dtype),
             jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n, d), q.dtype),
         ],
+        scratch_shapes=[pltpu.VMEM((n, d), jnp.float32)],
         interpret=_interpret(),
     )(*args)
     return dq, dk, dv
@@ -325,12 +337,24 @@ def _flash_masked(q3, k3, v3, mask3, scale, blocks):
 
 def _flash_masked_fwd(q3, k3, v3, mask3, scale, blocks):
     out, lse = _flash_fwd(q3, k3, v3, mask3, scale, *blocks)
-    return out, (q3, k3, v3, mask3, out, lse)
+    # name the softmax statistics so the remat policy can save them — without
+    # this, rematerialized backward passes re-run the whole forward kernel
+    # just to regenerate lse (measured: +50% attention time per bwd layer).
+    # lse is stored 2D: a saved [bh, n, 1] tensor gets a T(8,128) layout whose
+    # trailing-dim padding inflates it 128x (observed as an HBM OOM).
+    from jax.ad_checkpoint import checkpoint_name
+
+    out = checkpoint_name(out, "attn_out")
+    lse2 = checkpoint_name(lse[..., 0], "attn_lse")
+    return out, (q3, k3, v3, mask3, out, lse2)
 
 
 def _flash_masked_bwd(scale, blocks, res, g):
-    q3, k3, v3, mask3, out, lse = res
+    q3, k3, v3, mask3, out, lse2 = res
+    lse = lse2[..., None]
     dq, dk, dv = _flash_bwd(q3, k3, v3, mask3, out, lse, g, scale, *blocks)
+    if mask3 is None:
+        return dq, dk, dv, None
     import numpy as np
 
     dmask = np.zeros(mask3.shape, dtype=jax.dtypes.float0)
@@ -358,7 +382,8 @@ def flash_attention(
         scale = d**-0.5
 
     n_pad = -(-n // BLOCK) * BLOCK
-    if key_mask is None:
+    if key_mask is None and n_pad != n:
+        # padded keys must be excluded from the softmax
         key_mask = jnp.ones((b, n), bool)
     if n_pad != n:
         pad = [(0, 0), (0, 0), (0, n_pad - n), (0, 0)]
@@ -367,13 +392,16 @@ def flash_attention(
         v = jnp.pad(v, pad)
         key_mask = jnp.pad(key_mask, [(0, 0), (0, n_pad - n)])
 
-    blocks = _pick_blocks(n_pad)
+    blocks = (*_pick_blocks(n_pad), h)
     q3 = q.reshape(b * h, n_pad, d)
     k3 = k.reshape(b * h, n_pad, d)
     v3 = v.reshape(b * h, n_pad, d)
-    # additive bias: 0 for valid keys, NEG_INF for invalid
-    bias = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
-    mask3 = jnp.repeat(bias[:, None, :], h, axis=1).reshape(b * h, 1, n_pad)
+    if key_mask is None:
+        mask3 = None  # fully-unmasked path (target encoder): no bias adds
+    else:
+        # additive bias: 0 for valid keys, NEG_INF for invalid — stored once
+        # per batch row [B, 1, N] and shared across heads inside the kernels
+        mask3 = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
     out = _flash_masked(q3, k3, v3, mask3, scale, blocks)
     out = out.reshape(b, h, n_pad, d)
     if n_pad != n:

@@ -141,10 +141,14 @@ class TrainHandles:
             idx = None
         else:
             idx = tuple(jnp.asarray(i) for i in idx)
+        # ship pixels at the model's compute dtype: halves host->device bytes
+        # and avoids keeping an f32 copy of the video in HBM (the models cast
+        # to bf16 at the patch embed anyway)
+        dt = DTYPES[self.cfg.meta.dtype]
         return self.step_fn(
             state,
-            jnp.asarray(video),
-            jnp.asarray(audio) if audio is not None else None,
+            jnp.asarray(video, dt),
+            jnp.asarray(audio, dt) if audio is not None else None,
             jnp.asarray(enc_m),
             jnp.asarray(pred_m),
             idx,

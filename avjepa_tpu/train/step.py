@@ -200,9 +200,14 @@ def make_train_step(
             # src/utils/logging.py:108-118)
             "opt_mu_abs": _tree_abs_mean(enc_opt.mu),
             "opt_nu_abs": _tree_abs_mean(enc_opt.nu),
-            # input-variance diagnostics (reference: train.py:560-563)
-            "input_var": jnp.mean(jnp.var(video.reshape(video.shape[0], -1), axis=1)),
-            "input_var_min": jnp.min(jnp.var(video.reshape(video.shape[0], -1), axis=1)),
+            # input-variance diagnostics (reference: train.py:560-563); f32
+            # accumulation — the video itself may arrive as bf16
+            "input_var": jnp.mean(
+                jnp.var(video.reshape(video.shape[0], -1).astype(jnp.float32), axis=1)
+            ),
+            "input_var_min": jnp.min(
+                jnp.var(video.reshape(video.shape[0], -1).astype(jnp.float32), axis=1)
+            ),
             "mask_sizes": jnp.sum(enc_masks[:, 0, :], axis=1).astype(jnp.float32),
         }
         return new_state, metrics

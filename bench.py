@@ -75,8 +75,9 @@ def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20, attn: 
     # transfer the batch to device ONCE: the bench measures device step time,
     # and host->device moves through this environment's tunnel are slow
     enc_m, pred_m, idx = stack_masksets(masks, with_idx=True)
-    video = jnp.asarray(video)
-    audio = jnp.asarray(audio)
+    dt = jnp.bfloat16 if cfg.meta.dtype == "bfloat16" else jnp.float32
+    video = jnp.asarray(video, dt)
+    audio = jnp.asarray(audio, dt)
     enc_m = jnp.asarray(enc_m)
     pred_m = jnp.asarray(pred_m)
     idx = tuple(jnp.asarray(i) for i in idx) if handles.compact else None
