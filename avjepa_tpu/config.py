@@ -118,6 +118,10 @@ class TpuConfig:
     # (bucketed to 128); identical numerics, large speedup. Disable to force
     # the fully-dense single-compilation path.
     compact_context: bool = True
+    # GELU flavor: 'tanh' (TPU-fast approximation, the ViT/PaLM standard) or
+    # 'exact' (erf, bit-matches torch nn.GELU default — XLA expands erf into a
+    # long branchy f32 polynomial, measured ~100 ms/step on the ViT-L step)
+    gelu: str = "tanh"
 
 
 @dataclasses.dataclass

@@ -53,6 +53,7 @@ class BlockStack(nn.Module):
     attn_impl: str = "xla"
     remat: bool = False
     ln_eps: float = 1e-6
+    gelu: str = "exact"
 
     @nn.compact
     def __call__(self, x, key_mask=None):
@@ -81,6 +82,7 @@ class BlockStack(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             ln_eps=self.ln_eps,
+            gelu=self.gelu,
             name="layers",
         )
         x, _ = scanned(x, key_mask)
@@ -107,6 +109,7 @@ class Encoder(nn.Module):
     attn_impl: str = "xla"
     remat: bool = False
     ln_eps: float = 1e-6
+    gelu: str = "exact"
 
     def _video_pos_embed(self) -> np.ndarray:
         lo = self.layout
@@ -209,6 +212,7 @@ class Encoder(nn.Module):
             attn_impl=self.attn_impl,
             remat=self.remat,
             ln_eps=self.ln_eps,
+            gelu=self.gelu,
             name="blocks",
         )(x, key_mask=key_mask)
 

@@ -53,6 +53,7 @@ def make_encoder(
     dtype: jnp.dtype = jnp.float32,
     attn_impl: str = "xla",
     remat: bool = False,
+    gelu: str = "tanh",
 ) -> Encoder:
     spec = VIT_SPECS[model_name]
     return Encoder(
@@ -65,6 +66,7 @@ def make_encoder(
         dtype=dtype,
         attn_impl=attn_impl,
         remat=remat,
+        gelu=gelu,
     )
 
 
@@ -80,6 +82,7 @@ def make_predictor(
     dtype: jnp.dtype = jnp.float32,
     attn_impl: str = "xla",
     remat: bool = False,
+    gelu: str = "tanh",
 ) -> Predictor:
     spec = VIT_SPECS[model_name]
     return Predictor(
@@ -96,6 +99,7 @@ def make_predictor(
         dtype=dtype,
         attn_impl=attn_impl,
         remat=remat,
+        gelu=gelu,
     )
 
 

@@ -46,6 +46,9 @@ class Mlp(nn.Module):
     out_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
     kernel_init: Callable = clipped_normal_init()
+    # 'exact' bit-matches torch nn.GELU (default); 'tanh' is the TPU-fast
+    # approximation (XLA expands erf into a long branchy f32 polynomial)
+    gelu: str = "exact"
 
     @nn.compact
     def __call__(self, x):
@@ -53,7 +56,7 @@ class Mlp(nn.Module):
         x = nn.Dense(
             self.hidden_dim, dtype=self.dtype, kernel_init=self.kernel_init, name="fc1"
         )(x)
-        x = nn.gelu(x, approximate=False)  # exact GELU, matching torch nn.GELU
+        x = nn.gelu(x, approximate=self.gelu == "tanh")
         x = nn.Dense(
             out_dim, dtype=self.dtype, kernel_init=self.kernel_init, name="fc2"
         )(x)
@@ -110,6 +113,7 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     ln_eps: float = 1e-6
+    gelu: str = "exact"
 
     @nn.compact
     def __call__(self, x, key_mask=None):
@@ -125,7 +129,12 @@ class Block(nn.Module):
         )(y, key_mask=key_mask)
         x = x + y
         y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
-        y = Mlp(hidden_dim=int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)
+        y = Mlp(
+            hidden_dim=int(self.dim * self.mlp_ratio),
+            dtype=self.dtype,
+            gelu=self.gelu,
+            name="mlp",
+        )(y)
         return x + y
 
 

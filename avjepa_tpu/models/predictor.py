@@ -47,6 +47,7 @@ class Predictor(nn.Module):
     attn_impl: str = "xla"
     remat: bool = False
     ln_eps: float = 1e-6
+    gelu: str = "exact"
 
     @nn.compact
     def __call__(
@@ -149,6 +150,7 @@ class Predictor(nn.Module):
             attn_impl=self.attn_impl,
             remat=self.remat,
             ln_eps=self.ln_eps,
+            gelu=self.gelu,
             name="blocks",
         )(x, key_mask=key_mask)
 

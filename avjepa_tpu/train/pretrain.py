@@ -54,6 +54,7 @@ def build_models(cfg: ExperimentConfig, layout):
         dtype=dtype,
         attn_impl=cfg.tpu.attn_impl,
         remat=cfg.tpu.remat,
+        gelu=cfg.tpu.gelu,
     )
     predictor = make_predictor(
         cfg.model.model_name,
@@ -67,6 +68,7 @@ def build_models(cfg: ExperimentConfig, layout):
         dtype=dtype,
         attn_impl=cfg.tpu.attn_impl,
         remat=cfg.tpu.remat,
+        gelu=cfg.tpu.gelu,
     )
     return encoder, predictor
 
