@@ -23,6 +23,7 @@ import flax.linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
 from avjepa_tpu.ops.attention import attention
+from avjepa_tpu.ops.flash_attention import flash_attention_qkv, packed_qkv_eligible
 
 
 def clipped_normal_init(std: float = 0.02, lo: float = -2.0, hi: float = 2.0):
@@ -83,19 +84,27 @@ class Attention(nn.Module):
             kernel_init=self.kernel_init,
             name="qkv",
         )(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = (
-            jnp.moveaxis(qkv[:, :, 0], 1, 2),
-            jnp.moveaxis(qkv[:, :, 1], 1, 2),
-            jnp.moveaxis(qkv[:, :, 2], 1, 2),
-        )  # [B, H, N, Dh]
-        out = attention(
-            q, k, v, key_mask=key_mask, scale=self.qk_scale, impl=self.attn_impl
-        )
-        # named for the remat policy: saving attention outputs means the
-        # backward pass never recomputes the (VPU-bound) softmax
-        out = checkpoint_name(out, "attn_out")
-        out = jnp.moveaxis(out, 1, 2).reshape(b, n, c).astype(self.dtype)
+        if self.attn_impl == "flash" and packed_qkv_eligible(self.num_heads, head_dim):
+            # packed path: the kernel reads the fused qkv output in place and
+            # emits [B, N, C] straight into the projection — no moveaxis
+            # relayouts, and no transposed layouts leaking into the MLP dots
+            out = flash_attention_qkv(
+                qkv, self.num_heads, key_mask=key_mask, scale=self.qk_scale
+            ).astype(self.dtype)
+        else:
+            qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+            q, k, v = (
+                jnp.moveaxis(qkv[:, :, 0], 1, 2),
+                jnp.moveaxis(qkv[:, :, 1], 1, 2),
+                jnp.moveaxis(qkv[:, :, 2], 1, 2),
+            )  # [B, H, N, Dh]
+            out = attention(
+                q, k, v, key_mask=key_mask, scale=self.qk_scale, impl=self.attn_impl
+            )
+            # named for the remat policy: saving attention outputs means the
+            # backward pass never recomputes the (VPU-bound) softmax
+            out = checkpoint_name(out, "attn_out")
+            out = jnp.moveaxis(out, 1, 2).reshape(b, n, c).astype(self.dtype)
         out = nn.Dense(
             self.dim, dtype=self.dtype, kernel_init=self.kernel_init, name="proj"
         )(out)

@@ -31,6 +31,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 BLOCK = 128
 
+# v5e has 128 MiB of VMEM; the compiler's default scoped-vmem budget is a
+# conservative 16 MiB. Our kernels hold full K/V rows plus several score
+# tiles, so give them a bigger window (leaving room for XLA's own scoped use).
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _interpret() -> bool:
     # pallas TPU kernels run in interpreter mode on CPU (tests / dev)
@@ -170,6 +175,7 @@ def _flash_fwd(q, k, v, key_mask, scale, block_q, block_k, h):
             jax.ShapeDtypeStruct((bh, n, 1), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(*args)
     return out, lse
 
@@ -320,6 +326,7 @@ def _flash_bwd(q, k, v, key_mask, o, lse, do, scale, block_q, block_k, h):
         ],
         scratch_shapes=[pltpu.VMEM((n, d), jnp.float32)],
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(*args)
     return dq, dk, dv
 
@@ -406,4 +413,307 @@ def flash_attention(
     out = out.reshape(b, h, n_pad, d)
     if n_pad != n:
         out = out[:, :, :n]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# packed-qkv path: attention straight off the fused qkv projection
+# ---------------------------------------------------------------------------
+#
+# The classic path above wants [B*H, N, d] operands, which forces
+# moveaxis/reshape relayouts between the qkv Dense and the kernel — and, far
+# worse, lets XLA's layout assignment propagate transposed layouts into the
+# surrounding dots (measured: fc2 at 42% MFU, plus a saved activation stack
+# stored [dp, N, B]-transposed whose minor-dim padding wasted 1.49 GB HBM).
+#
+# Here the kernel reads the qkv Dense output [B, N, 3C] *in place* via three
+# BlockSpec views (q at lane-block g, k at C/128 + g, v at 2C/128 + g) and
+# writes [B, N, C] that feeds the output projection directly. Heads are packed
+# into 128-lane groups (hpb = 128 // head_dim heads per program) to satisfy
+# the Mosaic lane-tile constraint without any transposes anywhere.
+
+LANE = 128
+
+
+def packed_qkv_eligible(num_heads: int, head_dim: int) -> bool:
+    return (
+        head_dim <= LANE
+        and LANE % head_dim == 0
+        and num_heads % (LANE // head_dim) == 0
+    )
+
+
+def _fwd_packed_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+                       *, scale, d, hpb, block_q, nq):
+    # q/k/v/o refs: [1, N, 128] (one group of hpb heads, lane-packed);
+    # mask: [1, 1, N] additive bias or None; lse: [1, 1, N, hpb] f32.
+    # Mosaic only allows dynamic store offsets on SUBLANE dims (multiples of
+    # 8), so lse is emitted [N, hpb] (heads in lanes) — the wrapper transposes
+    # it once, outside the kernel, into the padding-friendly [hpb, N] form.
+    k_all = k_ref[0, :, :]
+    v_all = v_ref[0, :, :]
+    bias = mask_ref[0, 0:1, :] if mask_ref is not None else None  # [1, N]
+
+    def q_block(qi, _):
+        qsl = pl.ds(qi * block_q, block_q)
+        q2 = q_ref[0, qsl, :]  # [bq, 128]
+        o_parts = []
+        lse_parts = []
+        for hi in range(hpb):
+            hs = slice(hi * d, (hi + 1) * d)
+            q = q2[:, hs]
+            s = jax.lax.dot_general(
+                q, k_all[:, hs], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [bq, N] f32
+            if bias is not None:
+                s = s + bias
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+            acc = jax.lax.dot_general(
+                p.astype(q2.dtype), v_all[:, hs], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_parts.append(acc / l)
+            lse_parts.append(m + jnp.log(l))  # [bq, 1]
+        o_ref[0, qsl, :] = jnp.concatenate(o_parts, axis=1).astype(o_ref.dtype)
+        lse_ref[0, 0, qsl, :] = jnp.concatenate(lse_parts, axis=1)  # [bq, hpb]
+        return 0
+
+    jax.lax.fori_loop(0, nq, q_block, 0)
+
+
+def _bwd_packed_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref,
+                       dq_ref, dk_ref, dv_ref,
+                       *, scale, d, hpb, block_q, nq):
+    # lse arrives [1, 1, N, hpb] (heads in lanes) so per-q-block reads only
+    # need dynamic SUBLANE offsets; per-head lse is a static lane slice.
+    k_all = k_ref[0, :, :]
+    v_all = v_ref[0, :, :]
+    bias = mask_ref[0, 0:1, :] if mask_ref is not None else None
+
+    n = k_all.shape[0]
+    dk0 = tuple(jnp.zeros((n, d), jnp.float32) for _ in range(hpb))
+    dv0 = tuple(jnp.zeros((n, d), jnp.float32) for _ in range(hpb))
+
+    def q_block(qi, carry):
+        dks, dvs = carry
+        qsl = pl.ds(qi * block_q, block_q)
+        q2 = q_ref[0, qsl, :]
+        do2 = do_ref[0, qsl, :]
+        o2 = o_ref[0, qsl, :]
+        lse2 = lse_ref[0, 0, qsl, :]  # [bq, hpb] f32
+        dq_parts = []
+        dks_new = []
+        dvs_new = []
+        for hi in range(hpb):
+            hs = slice(hi * d, (hi + 1) * d)
+            q = q2[:, hs]
+            do = do2[:, hs]
+            o = o2[:, hs]
+            lse = lse2[:, hi:hi + 1]  # [bq, 1]
+            delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                            axis=1, keepdims=True)
+            s = jax.lax.dot_general(
+                q, k_all[:, hs], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if bias is not None:
+                s = s + bias
+            p = jnp.exp(s - lse)
+            p_lo = p.astype(q2.dtype)
+            dvs_new.append(dvs[hi] + jax.lax.dot_general(
+                p_lo, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+            dp = jax.lax.dot_general(
+                do, v_all[:, hs], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - delta) * scale
+            ds_lo = ds.astype(q2.dtype)
+            dks_new.append(dks[hi] + jax.lax.dot_general(
+                ds_lo, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+            dq_parts.append(jax.lax.dot_general(
+                ds_lo, k_all[:, hs], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        dq_ref[0, qsl, :] = jnp.concatenate(dq_parts, axis=1).astype(dq_ref.dtype)
+        return tuple(dks_new), tuple(dvs_new)
+
+    dks, dvs = jax.lax.fori_loop(0, nq, q_block, (dk0, dv0))
+    dk_ref[0, :, :] = jnp.concatenate(list(dks), axis=1).astype(dk_ref.dtype)
+    dv_ref[0, :, :] = jnp.concatenate(list(dvs), axis=1).astype(dv_ref.dtype)
+
+
+def _packed_specs(b, n, c, g_total, with_mask):
+    """(in_specs for qkv-as-three-views [+ mask], grid) for grid (b, G)."""
+    C = c // LANE
+    q_spec = pl.BlockSpec((1, n, LANE), lambda bi, g: (bi, 0, g),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, n, LANE), lambda bi, g: (bi, 0, C + g),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, n, LANE), lambda bi, g: (bi, 0, 2 * C + g),
+                          memory_space=pltpu.VMEM)
+    specs = [q_spec, k_spec, v_spec]
+    if with_mask:
+        specs.append(pl.BlockSpec((1, 1, n), lambda bi, g: (bi, 0, 0),
+                                  memory_space=pltpu.VMEM))
+    return specs, (b, g_total)
+
+
+def _flash_packed_fwd_impl(qkv, mask3, scale, h, d):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    hpb = LANE // d
+    G = h // hpb
+    # smaller score-tile budget than the classic path: the static q unroll
+    # lets Mosaic overlap iterations, inflating live VMEM ranges
+    block_q, _ = _pick_blocks(n, s_budget_bytes=1_500_000)
+    nq = n // block_q
+
+    in_specs, grid = _packed_specs(b, n, c, G, mask3 is not None)
+
+    def kernel(*refs):
+        if mask3 is not None:
+            q_ref, k_ref, v_ref, m_ref, o_ref, lse_ref = refs
+        else:
+            q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+            m_ref = None
+        _fwd_packed_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, lse_ref,
+                           scale=scale, d=d, hpb=hpb, block_q=block_q, nq=nq)
+
+    args = [qkv, qkv, qkv] + ([mask3] if mask3 is not None else [])
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, n, LANE), lambda bi, g: (bi, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, hpb), lambda bi, g: (bi, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, G, n, hpb), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
+    )(*args)
+    # transpose the statistics to n-minor OUTSIDE the kernel: a [.., n, hpb]
+    # tensor saved as a bwd residual would be lane-padded hpb -> 128 (64x)
+    return out, jnp.swapaxes(lse, 2, 3)  # [b, G, hpb, n]
+
+
+def _flash_packed_bwd_impl(qkv, mask3, out, lse, g, scale, h, d):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    hpb = LANE // d
+    G = h // hpb
+    block_q = _bwd_block_q(n, n)
+    nq = n // block_q
+
+    in_specs, grid = _packed_specs(b, n, c, G, mask3 is not None)
+    row_spec = pl.BlockSpec((1, n, LANE), lambda bi, gi: (bi, 0, gi),
+                            memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, 1, n, hpb), lambda bi, gi: (bi, gi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    lse = jnp.swapaxes(lse, 2, 3)  # residual [b,G,hpb,n] -> kernel [b,G,n,hpb]
+
+    def kernel(*refs):
+        if mask3 is not None:
+            (q_ref, k_ref, v_ref, m_ref, do_ref, o_ref, lse_ref,
+             dq_ref, dk_ref, dv_ref) = refs
+        else:
+            (q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+             dq_ref, dk_ref, dv_ref) = refs
+            m_ref = None
+        _bwd_packed_kernel(q_ref, k_ref, v_ref, m_ref, do_ref, o_ref, lse_ref,
+                           dq_ref, dk_ref, dv_ref,
+                           scale=scale, d=d, hpb=hpb, block_q=block_q, nq=nq)
+
+    args = [qkv, qkv, qkv] + ([mask3] if mask3 is not None else []) + [g, out, lse]
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs + [row_spec, row_spec, lse_spec],
+        out_specs=[row_spec, row_spec, row_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        ],
+        interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
+    )(*args)
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _flash_packed(qkv, mask3, scale, h, d):
+    out, _ = _flash_packed_fwd_impl(qkv, mask3, scale, h, d)
+    return out
+
+
+def _flash_packed_fwd(qkv, mask3, scale, h, d):
+    out, lse = _flash_packed_fwd_impl(qkv, mask3, scale, h, d)
+    from jax.ad_checkpoint import checkpoint_name
+
+    out = checkpoint_name(out, "attn_out")
+    lse = checkpoint_name(lse, "attn_lse")
+    return out, (qkv, mask3, out, lse)
+
+
+def _flash_packed_bwd(scale, h, d, res, g):
+    qkv, mask3, out, lse = res
+    dqkv = _flash_packed_bwd_impl(qkv, mask3, out, lse, g, scale, h, d)
+    if mask3 is None:
+        return dqkv, None
+    import numpy as np
+
+    dmask = np.zeros(mask3.shape, dtype=jax.dtypes.float0)
+    return dqkv, dmask
+
+
+_flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
+def flash_attention_qkv(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    key_mask: jnp.ndarray | None = None,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Attention straight off the fused qkv projection.
+
+    qkv: [B, N, 3*C] (feature packing [q | k | v], heads contiguous within
+    each C — exactly the layout a single Dense(3C) produces). Returns
+    [B, N, C]. Requires packed_qkv_eligible(num_heads, C // num_heads) and
+    pads N to a multiple of 128.
+    """
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    assert packed_qkv_eligible(num_heads, d), (num_heads, d)
+    if scale is None:
+        scale = d**-0.5
+
+    n_pad = -(-n // LANE) * LANE
+    if key_mask is None and n_pad != n:
+        key_mask = jnp.ones((b, n), bool)
+    if n_pad != n:
+        qkv = jnp.pad(qkv, [(0, 0), (0, n_pad - n), (0, 0)])
+        key_mask = jnp.pad(key_mask, [(0, 0), (0, n_pad - n)])
+    mask3 = (
+        None
+        if key_mask is None
+        else jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
+    )
+    out = _flash_packed(qkv, mask3, scale, num_heads, d)
+    if n_pad != n:
+        out = out[:, :n]
     return out

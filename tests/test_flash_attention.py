@@ -87,3 +87,65 @@ def test_bf16_forward():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2
     )
+
+
+def test_packed_qkv_matches_classic():
+    """flash_attention_qkv (packed lanes, fused qkv input) vs the reference
+    XLA attention: same math, both masked and unmasked, fwd and grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from avjepa_tpu.ops.attention import xla_attention
+    from avjepa_tpu.ops.flash_attention import flash_attention_qkv
+
+    rng = np.random.default_rng(3)
+    b, n, h, d = 2, 256, 4, 32  # hpb = 4
+    c = h * d
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * c)), jnp.float32)
+    mask = rng.random((b, n)) < 0.8
+    mask[:, 0] = True
+    mask_j = jnp.asarray(mask)
+
+    def split(qkv):
+        q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
+        to4 = lambda t: jnp.moveaxis(t.reshape(b, n, h, d), 1, 2)
+        return to4(q), to4(k), to4(v)
+
+    def packed(qkv, m):
+        return flash_attention_qkv(qkv, h, key_mask=m)
+
+    def classic(qkv, m):
+        q, k, v = split(qkv)
+        out = xla_attention(q, k, v, key_mask=m)
+        return jnp.moveaxis(out, 1, 2).reshape(b, n, c)
+
+    for m in (None, mask_j):
+        out_p = jax.jit(lambda x: packed(x, m))(qkv)
+        out_c = jax.jit(lambda x: classic(x, m))(qkv)
+        valid = np.ones((b, n, 1), bool) if m is None else np.asarray(m)[..., None]
+        diff = np.abs(np.asarray(out_p - out_c)) * valid
+        assert diff.max() < 2e-5, diff.max()
+
+        g_p = jax.jit(jax.grad(lambda x: jnp.sum(packed(x, m) ** 2)))(qkv)
+        g_c = jax.jit(jax.grad(lambda x: jnp.sum(classic(x, m) ** 2)))(qkv)
+        # zero out grads at invalid query rows: classic/XLA produces garbage
+        # outputs there by design (callers mask them), packed does too
+        gdiff = np.abs(np.asarray(g_p - g_c)) * valid
+        assert gdiff.max() < 2e-4, gdiff.max()
+
+
+def test_packed_qkv_pads_n():
+    import jax.numpy as jnp
+    import numpy as np
+    from avjepa_tpu.ops.attention import xla_attention
+    from avjepa_tpu.ops.flash_attention import flash_attention_qkv
+
+    rng = np.random.default_rng(4)
+    b, n, h, d = 1, 200, 2, 64  # n not a multiple of 128
+    c = h * d
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * c)), jnp.float32)
+    out = flash_attention_qkv(qkv, h)
+    q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
+    to4 = lambda t: jnp.moveaxis(t.reshape(b, n, h, d), 1, 2)
+    ref = jnp.moveaxis(xla_attention(to4(q), to4(k), to4(v)), 1, 2).reshape(b, n, c)
+    assert np.abs(np.asarray(out - ref)).max() < 2e-5
