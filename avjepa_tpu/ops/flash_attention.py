@@ -268,11 +268,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref,
     jax.lax.fori_loop(0, nq, write_dq, 0)
 
 
-def _bwd_block_q(n_pad: int, block_k: int, s_budget_bytes: int = 1_250_000) -> int:
+def _bwd_block_q(n_pad: int, block_k: int, s_budget_bytes: int = 5_000_000) -> int:
     """The fused backward holds ~4 f32 + 2 bf16 [bq, bk] tiles live at once
-    (s, p, dp, ds + the two bf16 dot operands), so its q-block must be smaller
-    than the forward's to stay inside the 16 MB scoped-VMEM limit: cap the
-    f32 score tile at ~1.25 MB (~7.5 MB of live tiles)."""
+    (s, p, dp, ds + the two bf16 dot operands), so its q-block is smaller
+    than the forward's to bound live-tile VMEM (~15 MB at the 2.5 MB cap)."""
     budget_rows = max(s_budget_bytes // (4 * block_k), 8)
     best = 8
     for k in range(1, n_pad // 8 + 1):
@@ -570,9 +569,7 @@ def _flash_packed_fwd_impl(qkv, mask3, scale, h, d):
     c = c3 // 3
     hpb = LANE // d
     G = h // hpb
-    # smaller score-tile budget than the classic path: the static q unroll
-    # lets Mosaic overlap iterations, inflating live VMEM ranges
-    block_q, _ = _pick_blocks(n, s_budget_bytes=1_500_000)
+    block_q, _ = _pick_blocks(n, s_budget_bytes=6 * 1024 * 1024)
     nq = n // block_q
 
     in_specs, grid = _packed_specs(b, n, c, G, mask3 is not None)
