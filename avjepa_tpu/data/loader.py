@@ -119,12 +119,14 @@ class JepaLoader:
         self.use_processes = use_processes
         if use_processes:
             # process workers sidestep the GIL for the numpy stages (mel,
-            # normalize); the torch-DataLoader-equivalent mode
+            # normalize); the torch-DataLoader-equivalent mode. forkserver,
+            # NOT fork: forking a multithreaded JAX process deadlocks
+            # (os.fork() after the runtime spawns its thread pools).
             import multiprocessing as mp
 
             self._pool = ProcessPoolExecutor(
                 max_workers=self.num_workers,
-                mp_context=mp.get_context("fork"),
+                mp_context=mp.get_context("forkserver"),
                 initializer=_init_worker,
                 initargs=(dataset,),
             )

@@ -13,6 +13,7 @@ same native libav decoder (mjpeg/png are libavcodec decoders).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Optional
 
@@ -210,14 +211,24 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
         train_ds = ImageDataset(cfg, True)
         val_ds = ImageDataset(cfg, False)
 
-    ipe = max(1, len(train_ds) // cfg.batch_size)
+    # batch_size is per-chip (reference: per-GPU); scale by mesh size and
+    # batch-shard all jitted work over a pure-DP mesh (reference evals are
+    # DDP; metric sums/means inside jit reduce over the GLOBAL batch)
+    from avjepa_tpu.parallel.mesh import batch_sharding, eval_mesh, put_batch, replicated
+
+    mesh = eval_mesh()
+    batch_sh = batch_sharding(mesh)
+    repl = replicated(mesh)
+    global_batch = cfg.batch_size * jax.device_count()
+    local_batch = global_batch // jax.process_count()
+    ipe = max(1, len(train_ds) // global_batch)
     sched = ScheduleConfig(
         ipe=ipe, num_epochs=cfg.num_epochs, ipe_scale=1.0,
         warmup_epochs=cfg.warmup, start_lr=cfg.start_lr, ref_lr=cfg.lr,
         final_lr=cfg.final_lr, ref_wd=cfg.weight_decay, final_wd=cfg.weight_decay,
     )
 
-    @jax.jit
+    @functools.partial(jax.jit, in_shardings=(repl, batch_sh))
     def encode(enc_params, images):
         # replicate the image across frames for the video tokenizer
         clips = jnp.repeat(images[:, None], cfg.frames_per_clip, axis=1)
@@ -228,7 +239,11 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
         logp = jax.nn.log_softmax(logits.astype(jnp.float32))
         return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1)), logits
 
-    @jax.jit
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, repl, repl, batch_sh, batch_sh),
+        out_shardings=repl,
+    )
     def train_step(cls_params, opt, step, feats, labels):
         lr = lr_at_step(sched, step)
         (loss, logits), grads = jax.value_and_grad(cls_loss, has_aux=True)(
@@ -242,14 +257,18 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
         acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
         return cls_params, opt, {"loss": loss, "acc": acc}
 
-    @jax.jit
+    @functools.partial(jax.jit, in_shardings=(repl, batch_sh))
     def predict(cls_params, feats):
         logits = classifier.apply({"params": cls_params}, feats)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
+    @jax.jit
+    def count_correct(probs, labels):
+        return jnp.sum((jnp.argmax(probs, -1) == labels).astype(jnp.int32))
+
     opt = adamw_init(cls_params)
     step = jnp.zeros((), jnp.int32)
-    sampler = ShardedSampler(len(train_ds), cfg.batch_size, seed=cfg.seed)
+    sampler = ShardedSampler(len(train_ds), local_batch, seed=cfg.seed)
     summary = {}
     total = 0
     for epoch in range(cfg.num_epochs):
@@ -258,9 +277,9 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
         for indices in sampler:
             imgs = np.stack([train_ds[int(i)][0] for i in indices])
             labels = np.asarray([train_ds[int(i)][1] for i in indices])
-            feats = encode(enc_params, jnp.asarray(imgs))
+            feats = encode(enc_params, put_batch(mesh, imgs))
             cls_params, opt, m = train_step(
-                cls_params, opt, step, feats, jnp.asarray(labels)
+                cls_params, opt, step, feats, put_batch(mesh, labels)
             )
             step = step + 1
             meter.update(float(jax.device_get(m["acc"])) * 100)
@@ -272,14 +291,15 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
         if max_steps is not None and total >= max_steps:
             break
 
-    val_sampler = ShardedSampler(len(val_ds), cfg.batch_size, shuffle=False)
+    val_sampler = ShardedSampler(len(val_ds), local_batch, shuffle=False)
     correct = count = 0
     for indices in val_sampler:
         imgs = np.stack([val_ds[int(i)][0] for i in indices])
         labels = np.asarray([val_ds[int(i)][1] for i in indices])
-        probs = predict(cls_params, encode(enc_params, jnp.asarray(imgs)))
-        correct += int((np.asarray(jnp.argmax(probs, -1)) == labels).sum())
-        count += len(labels)
+        probs = predict(cls_params, encode(enc_params, put_batch(mesh, imgs)))
+        labels_g = put_batch(mesh, labels)
+        correct += int(jax.device_get(count_correct(probs, labels_g)))
+        count += labels_g.shape[0]
     top1 = 100.0 * correct / max(count, 1)
     logger.info(f"[image-eval] val top-1: {top1:.2f}%")
     summary["val_top1"] = top1

@@ -10,6 +10,7 @@ cross-entropy, report softmax-averaged top-1.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Optional, Sequence
 
@@ -256,7 +257,10 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
         train_ds = VideoClassificationDataset(cfg, train=True)
         val_ds = VideoClassificationDataset(cfg, train=False)
 
-    ipe = max(1, len(train_ds) // cfg.batch_size)
+    # batch_size is per-chip (reference: per-GPU); scale by mesh size
+    global_batch = cfg.batch_size * jax.device_count()
+    local_batch = global_batch // jax.process_count()
+    ipe = max(1, len(train_ds) // global_batch)
     sched = ScheduleConfig(
         ipe=ipe,
         num_epochs=cfg.num_epochs,
@@ -272,6 +276,16 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
     t_grid = layout.t_grid
     n_spatial = layout.h_grid * layout.w_grid
 
+    # eval parallelism: batch-shard every jitted function over a pure-DP mesh
+    # so all local chips work (reference evals are DDP,
+    # evals/video_classification_frozen/eval.py:353-365); metrics computed
+    # inside jit reduce over the GLOBAL batch.
+    from avjepa_tpu.parallel.mesh import batch_sharding, eval_mesh, put_batch, replicated
+
+    mesh = eval_mesh()
+    batch_sh = batch_sharding(mesh)
+    repl = replicated(mesh)
+
     def encode(enc_params, clips):  # clips: [Beff, T, H, W, 3]
         if cfg.frame_aggregation:
             # image-mode encoder per frame; concat all frame tokens
@@ -281,7 +295,7 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
             return out.reshape(b, t * out.shape[1], out.shape[2])
         return encoder.apply({"params": enc_params}, clips)
 
-    encode = jax.jit(encode)
+    encode = jax.jit(encode, in_shardings=(repl, batch_sh))
 
     def aggregate(outputs_by_seg: list, clip_indices: Optional[np.ndarray]):
         """attend-across-segments: temporal concat + optional 1D pos embed
@@ -310,7 +324,11 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
         loss = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
         return loss, logits
 
-    @jax.jit
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, repl, repl, batch_sh, batch_sh),
+        out_shardings=repl,
+    )
     def train_step(cls_params, opt: AdamWState, step, feats, labels):
         lr = lr_at_step(sched, step)
         (loss, logits), grads = jax.value_and_grad(cls_loss, has_aux=True)(
@@ -324,10 +342,16 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
         acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
         return cls_params, opt, {"loss": loss, "acc": acc, "lr": lr}
 
-    @jax.jit
+    @functools.partial(jax.jit, in_shardings=(repl, batch_sh))
     def predict(cls_params, feats):
         logits = classifier.apply({"params": cls_params}, feats)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    @jax.jit
+    def count_correct(probs, labels):
+        # global-batch sum: XLA reduces across the data mesh axis (and, with
+        # process-local shards, across hosts) — reference AllReduce parity
+        return jnp.sum((jnp.argmax(probs, -1) == labels).astype(jnp.int32))
 
     def batchify(ds, indices):
         views, segs, labels = [], [], []
@@ -375,7 +399,7 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
         ("%d", "epoch"), ("%d", "itr"), ("%.5f", "loss"), ("%.3f", "acc"),
         ("%.2e", "lr"),
     )
-    sampler = ShardedSampler(len(train_ds), cfg.batch_size, seed=cfg.seed)
+    sampler = ShardedSampler(len(train_ds), local_batch, seed=cfg.seed)
     summary = {}
     total = 0
     for epoch in range(start_epoch, cfg.num_epochs):
@@ -383,11 +407,11 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
         meter = AverageMeter()
         for batch_indices in sampler:
             batched, seg_idx, labels = batchify(train_ds, batch_indices)
-            outs = [encode(enc_params, jnp.asarray(batched[s][0]))
+            outs = [encode(enc_params, put_batch(mesh, batched[s][0]))
                     for s in range(len(batched))]
             feats = aggregate(outs, seg_idx)[0]
             cls_params, opt, m = train_step(
-                cls_params, opt, step, feats, jnp.asarray(labels)
+                cls_params, opt, step, feats, put_batch(mesh, labels)
             )
             step = step + 1
             m = jax.device_get(m)
@@ -413,7 +437,7 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
     ckpt.close()
 
     # validation: average softmax over segments x views
-    val_sampler = ShardedSampler(len(val_ds), cfg.batch_size, shuffle=False, seed=0)
+    val_sampler = ShardedSampler(len(val_ds), local_batch, shuffle=False, seed=0)
     correct = 0
     count = 0
     for batch_indices in val_sampler:
@@ -421,14 +445,14 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
         n_view = len(batched[0])
         probs = 0.0
         for v in range(n_view):
-            outs = [encode(enc_params, jnp.asarray(batched[s][v]))
+            outs = [encode(enc_params, put_batch(mesh, batched[s][v]))
                     for s in range(len(batched))]
             feats_list = aggregate(outs, seg_idx)
             pv = sum(predict(cls_params, f) for f in feats_list) / len(feats_list)
             probs = probs + pv
-        pred = np.asarray(jnp.argmax(probs, axis=-1))
-        correct += int((pred == labels).sum())
-        count += len(labels)
+        labels_g = put_batch(mesh, labels)
+        correct += int(jax.device_get(count_correct(probs, labels_g)))
+        count += labels_g.shape[0]
     top1 = 100.0 * correct / max(count, 1)
     logger.info(f"[eval] val top-1: {top1:.2f}%")
     summary["val_top1"] = top1

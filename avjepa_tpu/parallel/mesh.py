@@ -151,3 +151,25 @@ def state_shardings(mesh: Mesh, state: Any) -> Any:
     import jax.tree_util as jtu
 
     return jtu.tree_map_with_path(lambda p, x: rule(p, x), state)
+
+
+def eval_mesh() -> Mesh:
+    """Pure-DP mesh over every device — the eval parallelism layout
+    (reference evals are DDP: evals/video_classification_frozen/eval.py:353-365)."""
+    return make_mesh(jax.device_count(), 1, 1)
+
+
+def put_batch(mesh: Mesh, x: Any) -> jax.Array:
+    """Place a host batch on the mesh, sharded over the batch axes.
+
+    Single-host: a plain sharded device_put. Multi-host: each process
+    contributes its local shard of the global batch
+    (jax.make_array_from_process_local_data), so jit-internal means/sums
+    reduce across hosts — the analog of the reference's AllReduce on eval
+    meters (evals/video_classification_frozen/eval.py:364).
+    """
+    sh = batch_sharding(mesh)
+    x = np.asarray(x)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sh, x)
+    return jax.device_put(x, sh)

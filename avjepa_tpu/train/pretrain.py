@@ -227,9 +227,16 @@ def setup(cfg: ExperimentConfig, mesh=None) -> TrainHandles:
         # multi-dataset weighted sampling (reference DistributedWeightedSampler,
         # src/datasets/utils/weighted_sampler.py:36-97)
         weights = dataset.sample_weights(cfg.data.datasets_weights)
+    # data.batch_size is PER-CHIP, matching the reference's per-GPU semantics
+    # (configs/pretrain/av-vitt16.yaml: batch_size 24/rank): the global batch
+    # is batch_size x (data x fsdp mesh axes), and each host loads its share.
+    batch_chips = mesh.shape["data"] * mesh.shape["fsdp"]
+    global_batch = cfg.data.batch_size * batch_chips
+    assert global_batch % jax.process_count() == 0, (global_batch, jax.process_count())
+    local_batch = global_batch // jax.process_count()
     sampler = ShardedSampler(
         dataset_len=len(dataset),
-        batch_size=cfg.data.batch_size,
+        batch_size=local_batch,
         shuffle=True,
         seed=cfg.meta.seed,
         weights=weights,
@@ -343,13 +350,18 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
             total += 1
             if max_steps is not None and total >= max_steps:
                 break
-        if jax.process_index() == 0 and (
+        if (
             epoch % cfg.logging.checkpoint_freq == 0
             or epoch == cfg.optimization.epochs - 1
             or (max_steps is not None and total >= max_steps)
         ):
-            host_state = jax.device_get(state)
-            ckpt.save(int(jax.device_get(state.step)), host_state)
+            # distributed save: every host participates and Orbax writes each
+            # shard from the host that owns it — a process-0 device_get would
+            # fail on non-fully-addressable FSDP-sharded arrays (the folder
+            # must be shared storage on real multi-host topologies).
+            # Reference saved replicated state from rank 0 only
+            # (app/avjepa/train.py:332-350).
+            ckpt.save(int(jax.device_get(state.step)), state)
             # tagged archive copies every save_every_freq epochs
             # (reference: train.py:639-644) — kept forever, outside the
             # rolling latest window
@@ -360,7 +372,7 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
                 archive = CheckpointManager(
                     os.path.join(folder, f"{tag}-archive"), max_to_keep=10_000
                 )
-                archive.save(int(jax.device_get(state.step)), host_state)
+                archive.save(int(jax.device_get(state.step)), state)
                 archive.close()
         summary = {
             "epoch": epoch + 1,

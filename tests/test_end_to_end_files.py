@@ -32,7 +32,7 @@ def file_cfg(media_csv, folder, **over):
         "data": {
             "dataset_type": "audiovideodataset",
             "datasets": [media_csv],
-            "batch_size": 8,
+            "batch_size": 1,  # per-chip: loader batch 8 on the 8-device test backend
             "num_frames": 4,
             "tubelet_size": 2,
             "sampling_rate": 2,
@@ -77,7 +77,7 @@ def test_video_only_on_real_files(media_csv, tmp_path):
         data={
             "dataset_type": "videodataset",
             "datasets": [media_csv],
-            "batch_size": 8,
+            "batch_size": 1,  # per-chip: loader batch 8 on the 8-device test backend
             "num_frames": 4,
             "tubelet_size": 2,
             "sampling_rate": 2,

@@ -104,7 +104,7 @@ def test_mesh_sharding_multichip(tmp_path):
     """Full DP+FSDP+TP step over the 8-device virtual mesh."""
     from avjepa_tpu.parallel.mesh import make_mesh
 
-    cfg = make_cfg(tmp_path)
+    cfg = make_cfg(tmp_path, **{"data.batch_size": 2})  # per-chip -> loader 8
     cfg.tpu.mesh_data = 2
     cfg.tpu.mesh_fsdp = 2
     cfg.tpu.mesh_tensor = 2
@@ -143,3 +143,58 @@ def test_diffusion_predictor_step(tmp_path):
     video, audio, _, masks = next(iter(handles.loader))
     state, metrics = handles.step(handles.state, video, audio, masks)
     assert np.isfinite(float(jax.device_get(metrics["loss"])))
+
+
+def test_sharded_checkpoint_save_restore(tmp_path):
+    """Orbax save/restore of the FSDP+TP-sharded state over the 8-device mesh
+    (the multi-host-correct path: no process-0 device_get of sharded arrays)."""
+    from avjepa_tpu.parallel.mesh import make_mesh, state_shardings
+    from avjepa_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = make_cfg(tmp_path, **{"data.batch_size": 2})  # per-chip -> loader 8
+    cfg.tpu.mesh_data, cfg.tpu.mesh_fsdp, cfg.tpu.mesh_tensor = 2, 2, 2
+    mesh = make_mesh(2, 2, 2)
+    handles = pretrain.setup(cfg, mesh=mesh)
+    video, audio, _, masks = next(iter(handles.loader))
+    state, _ = handles.step(handles.state, video, audio, masks)
+
+    ckpt = CheckpointManager(str(tmp_path / "shckpt"))
+    ckpt.save(int(jax.device_get(state.step)), state)  # sharded, device-resident
+    ckpt.close()
+
+    # restore into a freshly-initialized (differently-valued) sharded state
+    handles2 = pretrain.setup(cfg, mesh=mesh)
+    ckpt2 = CheckpointManager(str(tmp_path / "shckpt"))
+    restored = ckpt2.restore(handles2.state)
+    ckpt2.close()
+    assert int(jax.device_get(restored.step)) == 1
+
+    want = jax.device_get(state.enc_params)
+    got = jax.device_get(restored.enc_params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        want, got,
+    )
+    # restored arrays carry the mesh shardings (ready to train on)
+    leaf = jax.tree_util.tree_leaves(restored.enc_params)[0]
+    assert leaf.sharding.mesh.shape == {"data": 2, "fsdp": 2, "tensor": 2}
+
+    # and training continues from the restored state
+    state3, metrics = handles2.step(restored, video, audio, masks)
+    assert np.isfinite(float(jax.device_get(metrics)["loss"]))
+    assert int(jax.device_get(state3.step)) == 2
+
+
+def test_batch_size_is_per_chip(tmp_path):
+    """data.batch_size matches the reference's per-GPU meaning: the loader
+    batch scales by the mesh's batch axes (data x fsdp)."""
+    from avjepa_tpu.parallel.mesh import make_mesh
+
+    cfg = make_cfg(tmp_path, **{"data.batch_size": 2})
+    cfg.tpu.mesh_data, cfg.tpu.mesh_fsdp, cfg.tpu.mesh_tensor = 2, 2, 2
+    mesh = make_mesh(2, 2, 2)
+    handles = pretrain.setup(cfg, mesh=mesh)
+    video, audio, _, masks = next(iter(handles.loader))
+    assert video.shape[0] == 2 * 4  # 2/chip x (data=2 * fsdp=2)
+    state, metrics = handles.step(handles.state, video, audio, masks)
+    assert np.isfinite(float(jax.device_get(metrics)["loss"]))
