@@ -68,8 +68,14 @@ def make_probe_step(encoder, predictor, probe, sched: ScheduleConfig):
             enc_params, pred_params, video, audio, enc_masks[0], pred_masks[0], 0
         )
         video_recon, audio_recon = probe.apply({"params": probe_params}, full)
-        loss_v = jnp.mean((video_recon.astype(jnp.float32) - video) ** 2)
-        loss_a = jnp.mean((audio_recon.astype(jnp.float32) - audio) ** 2)
+        loss_v = jnp.mean((video_recon.astype(jnp.float32) - video.astype(jnp.float32)) ** 2)
+        # video-only configs (vjepa prediction): no audio branch
+        if audio is None or audio_recon is None:
+            loss_a = jnp.zeros(())
+        else:
+            loss_a = jnp.mean(
+                (audio_recon.astype(jnp.float32) - audio.astype(jnp.float32)) ** 2
+            )
         loss = loss_v + loss_a
         return loss, (loss_v, loss_a)
 
@@ -113,7 +119,31 @@ def setup_probe(cfg: ExperimentConfig, mesh=None):
         probe_params=probe_params,
         opt=adamw_init(probe_params),
     )
-    step_fn = jax.jit(make_probe_step(handles.encoder, handles.predictor, probe, sched))
+    # shard over the pretrain mesh: probe state + frozen params follow the
+    # param rules, batches shard over (data, fsdp), donate the probe state
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from avjepa_tpu.parallel.mesh import param_shardings, state_shardings
+
+    mesh = handles.mesh
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(("data", "fsdp")))
+    mask_sh = NamedSharding(mesh, P(None, ("data", "fsdp")))
+    layout = cfg.layout()
+    probe_sh = jax.tree_util.tree_map(lambda _: repl, probe_state)
+    step_fn = jax.jit(
+        make_probe_step(handles.encoder, handles.predictor, probe, sched),
+        in_shardings=(
+            probe_sh,
+            param_shardings(mesh, handles.state.target_params),
+            param_shardings(mesh, handles.state.pred_params),
+            batch_sh,
+            batch_sh if layout.audio_enabled else None,
+            mask_sh,
+            mask_sh,
+        ),
+        out_shardings=(probe_sh, repl),
+        donate_argnums=(0,),
+    )
     return handles, probe, probe_state, step_fn
 
 

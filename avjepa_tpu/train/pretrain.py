@@ -280,6 +280,11 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
         ("%.5f", "reg-loss"),
         ("%.2e", "enc-grad-norm"),
         ("%.2e", "pred-grad-norm"),
+        ("%.2e", "grad-avg"),
+        ("%.2e", "grad-first-qkv"),
+        ("%.2e", "grad-last-qkv"),
+        ("%.2e", "opt-mu-abs"),
+        ("%.2e", "opt-nu-abs"),
         ("%.1f", "step-time-ms"),
         ("%.1f", "iter-time-ms"),
     )
@@ -335,7 +340,11 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
             csv_logger.log(
                 epoch + 1, itr, loss, float(metrics["loss_jepa"]),
                 float(metrics["loss_reg"]), float(metrics["enc_grad_norm"]),
-                float(metrics["pred_grad_norm"]), t.elapsed_ms, iter_ms,
+                float(metrics["pred_grad_norm"]), float(metrics["enc_grad_avg"]),
+                float(metrics["enc_grad_first_qkv"]),
+                float(metrics["enc_grad_last_qkv"]),
+                float(metrics["opt_mu_abs"]), float(metrics["opt_nu_abs"]),
+                t.elapsed_ms, iter_ms,
             )
             if itr % cfg.logging.log_freq == 0:
                 logger.info(
@@ -344,6 +353,9 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
                     f"| input_var: {float(metrics['input_var']):.3f} "
                     f"| masks: {np.array2string(metrics['mask_sizes'], precision=0)} "
                     f"[wd: {float(metrics['wd']):.2e}] [lr: {float(metrics['lr']):.2e}] "
+                    f"[g: {float(metrics['enc_grad_avg']):.2e} "
+                    f"f{float(metrics['enc_grad_first_qkv']):.2e} "
+                    f"l{float(metrics['enc_grad_last_qkv']):.2e}] "
                     f"[step: {time_meter.avg:.1f} ms]"
                 )
             assert np.isfinite(loss), "loss is not finite"

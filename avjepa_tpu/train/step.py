@@ -187,6 +187,11 @@ def make_train_step(
             pred_opt=pred_opt,
         )
 
+        # per-layer gradient statistics (reference grad_logger,
+        # src/utils/logging.py:91-105)
+        enc_gavg, enc_gfirst, enc_glast = grad_stats(enc_g)
+        pred_gavg, _, _ = grad_stats(pred_g)
+
         metrics = {
             "loss": loss,
             "loss_jepa": loss_jepa,
@@ -196,6 +201,10 @@ def make_train_step(
             "ema": m,
             "enc_grad_norm": enc_norm,
             "pred_grad_norm": pred_norm,
+            "enc_grad_avg": enc_gavg,
+            "enc_grad_first_qkv": enc_gfirst,
+            "enc_grad_last_qkv": enc_glast,
+            "pred_grad_avg": pred_gavg,
             # optimizer moment magnitudes (reference adamw_logger,
             # src/utils/logging.py:108-118)
             "opt_mu_abs": _tree_abs_mean(enc_opt.mu),
@@ -215,11 +224,50 @@ def make_train_step(
     return train_step
 
 
+def _named_leaves(tree):
+    for path, x in jax.tree_util.tree_leaves_with_path(tree):
+        yield "/".join(str(getattr(k, "key", k)) for k in path), x
+
+
+def grad_stats(tree):
+    """Per-parameter gradient statistics, reference grad_logger semantics
+    (src/utils/logging.py:91-105): mean of per-param grad norms over non-bias
+    >=2D params, plus the first/last transformer layer's qkv-kernel norm.
+
+    Our block params are depth-stacked ([L, ...] under blocks/layers), so
+    "per param" means per layer there — one vectorized reduction per leaf.
+    """
+    norms = []
+    first = last = None
+    for name, g in _named_leaves(tree):
+        if g.ndim <= 1 or name.endswith("bias"):
+            continue
+        g32 = g.astype(jnp.float32)
+        if "blocks/layers" in name:
+            per_layer = jnp.sqrt(
+                jnp.sum(jnp.square(g32), axis=tuple(range(1, g.ndim)))
+            )  # [L]
+            norms.append(per_layer)
+            if "qkv/kernel" in name:
+                first, last = per_layer[0], per_layer[-1]
+        else:
+            norms.append(jnp.linalg.norm(g32)[None])
+    z = jnp.zeros(())
+    avg = jnp.mean(jnp.concatenate(norms)) if norms else z
+    return avg, (z if first is None else first), (z if last is None else last)
+
+
 def _tree_abs_mean(tree) -> jnp.ndarray:
-    leaves = jax.tree_util.tree_leaves(tree)
-    total = sum(jnp.sum(jnp.abs(x)) for x in leaves)
-    count = sum(x.size for x in leaves)
-    return total / count
+    """Mean over params of per-param |x| means (reference adamw_logger,
+    src/utils/logging.py:108-118) — stacked leaves count once per layer."""
+    vals = []
+    for name, x in _named_leaves(tree):
+        x32 = jnp.abs(x.astype(jnp.float32))
+        if "blocks/layers" in name:
+            vals.append(jnp.mean(x32, axis=tuple(range(1, x.ndim))))
+        else:
+            vals.append(jnp.mean(x32)[None])
+    return jnp.mean(jnp.concatenate(vals)) if vals else jnp.zeros(())
 
 
 def stack_masksets(masksets: Sequence[MaskSet], with_idx: bool = False):

@@ -71,3 +71,22 @@ def test_av_prediction_eval(tmp_path):
     summary = eval_run(cfg, max_batches=2)
     assert np.isfinite(summary["mse_video"])
     assert np.isfinite(summary["mse_audio"])
+
+
+def test_probe_video_only(tmp_path):
+    """vjepa-style video-only prediction: no audio stream, loss_audio == 0."""
+    cfg = make_cfg(tmp_path)
+    cfg.app = "vjepa_prediction"
+    cfg.data.dataset_type = "videodataset"  # audio_enabled=False layout
+    handles, probe, probe_state, step_fn = avprediction.setup_probe(cfg)
+    video, audio, _, masks = next(iter(handles.loader))
+    assert audio is None
+    enc_m, pred_m = stack_masksets(masks)
+    state = handles.state
+    probe_state, metrics = step_fn(
+        probe_state, state.target_params, state.pred_params,
+        jnp.asarray(video), None, jnp.asarray(enc_m), jnp.asarray(pred_m),
+    )
+    metrics = jax.device_get(metrics)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["loss_audio"]) == 0.0

@@ -148,3 +148,32 @@ def test_predictor_diffusion_fallback():
     )(params)
     assert out.shape == (2, 14, 32)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_all_prediction_probes_smoke():
+    """All 8 reference probe families (reference src/models/prediction_probes.py
+    has 8 classes) build and emit video-shaped output."""
+    import jax
+    import jax.numpy as jnp
+    from avjepa_tpu.layout import TokenLayout
+    from avjepa_tpu.models.prediction_probes import PROBES
+
+    lo = TokenLayout(num_frames=4, crop_size=32, patch_size=16, tubelet_size=2)
+    b, n, d = 2, lo.num_tokens, 48
+    x = jnp.zeros((b, n, d), jnp.float32)
+    assert len(PROBES) == 8
+    for name, cls in PROBES.items():
+        kw = {"layout": lo}
+        if name in ("linear", "factorized", "convolutional", "progressive"):
+            kw["seq_len"] = n
+        if name in ("attention", "attentive"):
+            kw["emb_dim"] = d
+            if name == "attentive":
+                kw["num_heads"] = 4
+        probe = cls(**kw)
+        params = probe.init(jax.random.key(0), x)["params"]
+        out = probe.apply({"params": params}, x)
+        if name == "attention":
+            out = out[0]  # (video, audio) tuple
+        assert out.shape == (b, lo.num_frames, lo.crop_size, lo.crop_size, 3), (
+            name, out.shape)
