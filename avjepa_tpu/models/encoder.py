@@ -29,11 +29,23 @@ from avjepa_tpu.models.patch_embed import (
 
 
 class _ScanBlock(Block):
-    """Block with a scan-compatible (carry, output) signature."""
+    """Block with a scan-compatible (carry, output) signature.
+
+    The carry rides FLAT ([B*N, C]): the scan's per-layer residual stack is
+    saved for the backward pass, and XLA stores a 3D [B, N, C] stack
+    physically transposed (minor dim = B) to suit the backward dW dots —
+    whose T(8,128) padding inflated a 351 MB predictor stack to 1.83 GB
+    (observed HBM OOM). In 2D both orientations are 128-aligned.
+    """
+
+    seq_len: int = 0
 
     @nn.compact
     def __call__(self, x, key_mask=None):  # type: ignore[override]
-        return super().__call__(x, key_mask=key_mask), None
+        c = x.shape[-1]
+        x = x.reshape(-1, self.seq_len, c)
+        out = super().__call__(x, key_mask=key_mask)
+        return out.reshape(-1, c), None
 
 
 class BlockStack(nn.Module):
@@ -83,10 +95,12 @@ class BlockStack(nn.Module):
             attn_impl=self.attn_impl,
             ln_eps=self.ln_eps,
             gelu=self.gelu,
+            seq_len=x.shape[1],
             name="layers",
         )
-        x, _ = scanned(x, key_mask)
-        return x
+        b, n, c = x.shape
+        x2, _ = scanned(x.reshape(b * n, c), key_mask)
+        return x2.reshape(b, n, c)
 
 
 class Encoder(nn.Module):

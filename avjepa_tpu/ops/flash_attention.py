@@ -434,12 +434,18 @@ def flash_attention(
 LANE = 128
 
 
+def _heads_per_block(head_dim: int) -> int:
+    """Smallest head-group size whose packed width is lane-aligned
+    (lcm(d, 128) / d). d=64 -> 2 (width 128); d=32 -> 4 (128); d=24 -> 16
+    (384, the ViT-L predictor); d=80 -> 8 (640, ViT-H)."""
+    import math
+
+    return LANE // math.gcd(LANE, head_dim)
+
+
 def packed_qkv_eligible(num_heads: int, head_dim: int) -> bool:
-    return (
-        head_dim <= LANE
-        and LANE % head_dim == 0
-        and num_heads % (LANE // head_dim) == 0
-    )
+    hpb = _heads_per_block(head_dim)
+    return head_dim <= LANE and hpb <= num_heads and num_heads % hpb == 0
 
 
 def _fwd_packed_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
@@ -483,11 +489,18 @@ def _fwd_packed_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     jax.lax.fori_loop(0, nq, q_block, 0)
 
 
-def _bwd_packed_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref,
+def _bwd_packed_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
                        dq_ref, dk_ref, dv_ref,
                        *, scale, d, hpb, block_q, nq):
     # lse arrives [1, 1, N, hpb] (heads in lanes) so per-q-block reads only
     # need dynamic SUBLANE offsets; per-head lse is a static lane slice.
+    #
+    # No attention-output operand: with the full-width K block, the softmax
+    # correction term is computed in-tile as delta_i = sum_j p_ij * dp_ij
+    # (== do_i . o_i exactly, since p = exp(s - lse) is the normalized
+    # probability). Dropping o removes a saved residual the size of the
+    # activations per layer — XLA was storing it twice, once transposed with
+    # 5.3x tile padding (1.83 GB for the 12-layer predictor stack).
     k_all = k_ref[0, :, :]
     v_all = v_ref[0, :, :]
     bias = mask_ref[0, 0:1, :] if mask_ref is not None else None
@@ -501,7 +514,6 @@ def _bwd_packed_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref,
         qsl = pl.ds(qi * block_q, block_q)
         q2 = q_ref[0, qsl, :]
         do2 = do_ref[0, qsl, :]
-        o2 = o_ref[0, qsl, :]
         lse2 = lse_ref[0, 0, qsl, :]  # [bq, hpb] f32
         dq_parts = []
         dks_new = []
@@ -510,10 +522,7 @@ def _bwd_packed_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref,
             hs = slice(hi * d, (hi + 1) * d)
             q = q2[:, hs]
             do = do2[:, hs]
-            o = o2[:, hs]
             lse = lse2[:, hi:hi + 1]  # [bq, 1]
-            delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
-                            axis=1, keepdims=True)
             s = jax.lax.dot_general(
                 q, k_all[:, hs], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -530,6 +539,7 @@ def _bwd_packed_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref,
                 do, v_all[:, hs], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            delta = jnp.sum(p * dp, axis=1, keepdims=True)
             ds = p * (dp - delta) * scale
             ds_lo = ds.astype(q2.dtype)
             dks_new.append(dks[hi] + jax.lax.dot_general(
@@ -548,14 +558,15 @@ def _bwd_packed_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref,
     dv_ref[0, :, :] = jnp.concatenate(list(dvs), axis=1).astype(dv_ref.dtype)
 
 
-def _packed_specs(b, n, c, g_total, with_mask):
-    """(in_specs for qkv-as-three-views [+ mask], grid) for grid (b, G)."""
-    C = c // LANE
-    q_spec = pl.BlockSpec((1, n, LANE), lambda bi, g: (bi, 0, g),
+def _packed_specs(b, n, c, w, g_total, with_mask):
+    """(in_specs for qkv-as-three-views [+ mask], grid) for grid (b, G);
+    w = head-group width in lanes (hpb * head_dim, a multiple of 128)."""
+    G = c // w
+    q_spec = pl.BlockSpec((1, n, w), lambda bi, g: (bi, 0, g),
                           memory_space=pltpu.VMEM)
-    k_spec = pl.BlockSpec((1, n, LANE), lambda bi, g: (bi, 0, C + g),
+    k_spec = pl.BlockSpec((1, n, w), lambda bi, g: (bi, 0, G + g),
                           memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((1, n, LANE), lambda bi, g: (bi, 0, 2 * C + g),
+    v_spec = pl.BlockSpec((1, n, w), lambda bi, g: (bi, 0, 2 * G + g),
                           memory_space=pltpu.VMEM)
     specs = [q_spec, k_spec, v_spec]
     if with_mask:
@@ -567,12 +578,13 @@ def _packed_specs(b, n, c, g_total, with_mask):
 def _flash_packed_fwd_impl(qkv, mask3, scale, h, d):
     b, n, c3 = qkv.shape
     c = c3 // 3
-    hpb = LANE // d
+    hpb = _heads_per_block(d)
+    w = hpb * d
     G = h // hpb
     block_q, _ = _pick_blocks(n, s_budget_bytes=6 * 1024 * 1024)
     nq = n // block_q
 
-    in_specs, grid = _packed_specs(b, n, c, G, mask3 is not None)
+    in_specs, grid = _packed_specs(b, n, c, w, G, mask3 is not None)
 
     def kernel(*refs):
         if mask3 is not None:
@@ -589,7 +601,7 @@ def _flash_packed_fwd_impl(qkv, mask3, scale, h, d):
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, n, LANE), lambda bi, g: (bi, 0, g),
+            pl.BlockSpec((1, n, w), lambda bi, g: (bi, 0, g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, n, hpb), lambda bi, g: (bi, g, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -606,16 +618,17 @@ def _flash_packed_fwd_impl(qkv, mask3, scale, h, d):
     return out, jnp.swapaxes(lse, 2, 3)  # [b, G, hpb, n]
 
 
-def _flash_packed_bwd_impl(qkv, mask3, out, lse, g, scale, h, d):
+def _flash_packed_bwd_impl(qkv, mask3, lse, g, scale, h, d):
     b, n, c3 = qkv.shape
     c = c3 // 3
-    hpb = LANE // d
+    hpb = _heads_per_block(d)
+    w = hpb * d
     G = h // hpb
     block_q = _bwd_block_q(n, n)
     nq = n // block_q
 
-    in_specs, grid = _packed_specs(b, n, c, G, mask3 is not None)
-    row_spec = pl.BlockSpec((1, n, LANE), lambda bi, gi: (bi, 0, gi),
+    in_specs, grid = _packed_specs(b, n, c, w, G, mask3 is not None)
+    row_spec = pl.BlockSpec((1, n, w), lambda bi, gi: (bi, 0, gi),
                             memory_space=pltpu.VMEM)
     lse_spec = pl.BlockSpec((1, 1, n, hpb), lambda bi, gi: (bi, gi, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -623,21 +636,21 @@ def _flash_packed_bwd_impl(qkv, mask3, out, lse, g, scale, h, d):
 
     def kernel(*refs):
         if mask3 is not None:
-            (q_ref, k_ref, v_ref, m_ref, do_ref, o_ref, lse_ref,
+            (q_ref, k_ref, v_ref, m_ref, do_ref, lse_ref,
              dq_ref, dk_ref, dv_ref) = refs
         else:
-            (q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+            (q_ref, k_ref, v_ref, do_ref, lse_ref,
              dq_ref, dk_ref, dv_ref) = refs
             m_ref = None
-        _bwd_packed_kernel(q_ref, k_ref, v_ref, m_ref, do_ref, o_ref, lse_ref,
+        _bwd_packed_kernel(q_ref, k_ref, v_ref, m_ref, do_ref, lse_ref,
                            dq_ref, dk_ref, dv_ref,
                            scale=scale, d=d, hpb=hpb, block_q=block_q, nq=nq)
 
-    args = [qkv, qkv, qkv] + ([mask3] if mask3 is not None else []) + [g, out, lse]
+    args = [qkv, qkv, qkv] + ([mask3] if mask3 is not None else []) + [g, lse]
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=in_specs + [row_spec, row_spec, lse_spec],
+        in_specs=in_specs + [row_spec, lse_spec],
         out_specs=[row_spec, row_spec, row_spec],
         out_shape=[
             jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
@@ -660,14 +673,22 @@ def _flash_packed_fwd(qkv, mask3, scale, h, d):
     out, lse = _flash_packed_fwd_impl(qkv, mask3, scale, h, d)
     from jax.ad_checkpoint import checkpoint_name
 
-    out = checkpoint_name(out, "attn_out")
+    # the residual is saved 2D ([B*N, C]): XLA stores the stacked residual
+    # physically TRANSPOSED (minor dim = batch) to suit the proj-dW dot in
+    # the backward pass, and the 3D transpose's T(8,128) padding inflates a
+    # 351 MB stack to 1.83 GB (observed OOM). In 2D both orientations are
+    # 128-aligned, so whichever XLA picks is padding-free.
+    b, n, c = out.shape
+    # out is named so the proj-dW consumer reuses it under remat, but it is
+    # NOT a kernel residual (the backward computes delta in-tile)
+    out2 = checkpoint_name(out.reshape(b * n, c), "attn_out")
     lse = checkpoint_name(lse, "attn_lse")
-    return out, (qkv, mask3, out, lse)
+    return out2.reshape(b, n, c), (qkv, mask3, lse)
 
 
 def _flash_packed_bwd(scale, h, d, res, g):
-    qkv, mask3, out, lse = res
-    dqkv = _flash_packed_bwd_impl(qkv, mask3, out, lse, g, scale, h, d)
+    qkv, mask3, lse = res
+    dqkv = _flash_packed_bwd_impl(qkv, mask3, lse, g, scale, h, d)
     if mask3 is None:
         return dqkv, None
     import numpy as np

@@ -24,7 +24,7 @@ A100_EST_CLIPS_PER_SEC = 36.0
 TARGET_FACTOR = 2.0
 
 
-def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20, attn: str = "flash"):
+def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20, attn: str = "flash", mode: str = "device"):
     import os
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
@@ -70,38 +70,76 @@ def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20, attn: 
     )
 
     handles = pretrain.setup(cfg)
-    video, audio, _, masks = next(iter(handles.loader))
 
-    # transfer the batch to device ONCE: the bench measures device step time,
-    # and host->device moves through this environment's tunnel are slow
-    enc_m, pred_m, idx = stack_masksets(masks, with_idx=True)
-    dt = jnp.bfloat16 if cfg.meta.dtype == "bfloat16" else jnp.float32
-    video = jnp.asarray(video, dt)
-    audio = jnp.asarray(audio, dt)
-    enc_m = jnp.asarray(enc_m)
-    pred_m = jnp.asarray(pred_m)
-    idx = tuple(jnp.asarray(i) for i in idx) if handles.compact else None
+    def to_device(batch_tuple):
+        video, audio, _, masks = batch_tuple
+        enc_m, pred_m, idx = stack_masksets(masks, with_idx=True)
+        dt = jnp.bfloat16 if cfg.meta.dtype == "bfloat16" else jnp.float32
+        return (
+            jnp.asarray(video, dt),
+            jnp.asarray(audio, dt),
+            jnp.asarray(enc_m),
+            jnp.asarray(pred_m),
+            tuple(jnp.asarray(i) for i in idx) if handles.compact else None,
+        )
 
     state = handles.state
-    # compile + warmup. NOTE: on the tunneled device backend used here,
-    # jax.block_until_ready does NOT actually block; a scalar device_get is
-    # the only reliable completion barrier (and transfers 4 bytes).
-    state, metrics = handles.step_fn(state, video, audio, enc_m, pred_m, idx)
-    float(jax.device_get(metrics["loss"]))
-
-    t0 = time.perf_counter()
-    for _ in range(steps):
+    # NOTE: on the tunneled device backend used here, jax.block_until_ready
+    # does NOT actually block; a scalar device_get is the only reliable
+    # completion barrier (and transfers 4 bytes).
+    if mode == "device":
+        # pure device step: ONE pre-transferred batch + mask set, repeated
+        # (host->device moves through this environment's tunnel are slow)
+        video, audio, enc_m, pred_m, idx = to_device(next(iter(handles.loader)))
         state, metrics = handles.step_fn(state, video, audio, enc_m, pred_m, idx)
-    float(jax.device_get(metrics["loss"]))
-    dt = time.perf_counter() - t0
+        float(jax.device_get(metrics["loss"]))
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = handles.step_fn(state, video, audio, enc_m, pred_m, idx)
+        float(jax.device_get(metrics["loss"]))
+        dt = time.perf_counter() - t0
+    elif mode == "maskvar":
+        # steady-state under mask variation: rotate pre-transferred batches
+        # with fresh collator-stepped masks each step, so compact-path
+        # K-bucket churn (and any recompiles it causes) lands in the timing
+        it = iter(handles.loader)
+        staged = [to_device(next(it)) for _ in range(8)]
+        for b in staged:  # warm every bucket combination
+            state, metrics = handles.step_fn(state, *b)
+        float(jax.device_get(metrics["loss"]))
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, metrics = handles.step_fn(state, *staged[i % len(staged)])
+        float(jax.device_get(metrics["loss"]))
+        dt = time.perf_counter() - t0
+    elif mode == "steady":
+        # full end-to-end: real loader each step, H2D included. Through this
+        # environment's ~100 MB/s tunnel the transfer dominates; on a real
+        # v5e host the PCIe/DMA path makes this approach the device number.
+        it = iter(handles.loader)
+        state, metrics = handles.step_fn(state, *to_device(next(it)))
+        float(jax.device_get(metrics["loss"]))
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            try:
+                b = next(it)
+            except StopIteration:
+                it = iter(handles.loader)
+                b = next(it)
+            state, metrics = handles.step_fn(state, *to_device(b))
+        float(jax.device_get(metrics["loss"]))
+        dt = time.perf_counter() - t0
+    else:
+        raise SystemExit(f"unknown bench mode {mode!r}")
 
     n_chips = jax.device_count()
     clips_per_sec_per_chip = batch * steps / dt / n_chips
     loss = float(jax.device_get(metrics["loss"]))
     assert np.isfinite(loss)
 
+    mode_tag = "" if mode == "device" else f", {mode}"
     result = {
-        "metric": f"clips/sec/chip {model_name} AV pretrain step (b{batch}, bf16, 2 masks)",
+        "metric": f"clips/sec/chip {model_name} AV pretrain step (b{batch}, bf16, 2 masks{mode_tag})",
         "value": round(clips_per_sec_per_chip, 3),
         "unit": "clips/sec/chip",
         "vs_baseline": round(
@@ -117,4 +155,5 @@ if __name__ == "__main__":
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     attn = sys.argv[4] if len(sys.argv) > 4 else "flash"
-    main(model, batch, steps, attn)
+    mode = sys.argv[5] if len(sys.argv) > 5 else "device"
+    main(model, batch, steps, attn, mode)

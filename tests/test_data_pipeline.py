@@ -199,3 +199,50 @@ def test_mask_collator_cross_host_agreement():
         m1 = host1(4)[0]
         np.testing.assert_array_equal(m0.enc, m1.enc)
         np.testing.assert_array_equal(m0.pred, m1.pred)
+
+
+def test_video_transform_class_family():
+    """The composable clip-transform classes (reference vendored family,
+    src/datasets/utils/video/transforms.py:803-1184) behave sanely."""
+    import numpy as np
+    from avjepa_tpu.data import video_transforms as vt
+
+    rng = np.random.default_rng(0)
+    clip = rng.random((4, 48, 64, 3)).astype(np.float32)
+
+    pipeline = vt.Compose([
+        vt.RandomResize((0.9, 1.1)),
+        vt.Resize(40),
+        vt.RandomCrop(32),
+        vt.RandomHorizontalFlip(p=1.0),
+        vt.ColorJitter(brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1),
+        vt.Normalize(mean=[0.485, 0.456, 0.406], std=[0.229, 0.224, 0.225]),
+    ])
+    out = pipeline(clip, np.random.default_rng(1))
+    assert out.shape == (4, 32, 32, 3)
+    assert np.isfinite(out).all()
+
+    # deterministic ops
+    cc = vt.CenterCrop(32)(clip)
+    assert cc.shape == (4, 32, 32, 3)
+    np.testing.assert_allclose(cc, clip[:, 8:40, 16:48])
+    three = vt.ThreeCrop(32)(vt.Resize((32, 64))(clip))
+    assert three.shape == (12, 32, 32, 3)
+
+    # flip p=1 flips width
+    flipped = vt.RandomHorizontalFlip(1.0)(clip, rng)
+    np.testing.assert_allclose(flipped, clip[:, :, ::-1])
+
+    # rotation by 0 degrees is identity
+    rot = vt.RandomRotation((0.0, 0.0))(clip, rng)
+    np.testing.assert_allclose(rot, clip)
+
+    # hue shift by a full turn is (nearly) identity
+    h1 = vt.ColorJitter._hue_shift(clip, 1.0)
+    np.testing.assert_allclose(h1, clip, atol=1e-5)
+
+    # grayscale jitter functional helpers
+    g = vt.grayscale(clip)
+    assert np.allclose(g[..., 0], g[..., 1])
+    cj = vt.color_jitter(clip, rng, 0.4, 0.4, 0.4)
+    assert cj.shape == clip.shape

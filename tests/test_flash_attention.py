@@ -149,3 +149,38 @@ def test_packed_qkv_pads_n():
     to4 = lambda t: jnp.moveaxis(t.reshape(b, n, h, d), 1, 2)
     ref = jnp.moveaxis(xla_attention(to4(q), to4(k), to4(v)), 1, 2).reshape(b, n, c)
     assert np.abs(np.asarray(out - ref)).max() < 2e-5
+
+
+def test_packed_qkv_odd_head_dim():
+    """head_dim 24 (the ViT-L predictor: 384 wide, 16 heads) packs into
+    384-lane head groups."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from avjepa_tpu.ops.attention import xla_attention
+    from avjepa_tpu.ops.flash_attention import flash_attention_qkv, packed_qkv_eligible
+
+    b, n, h, d = 2, 256, 16, 24
+    assert packed_qkv_eligible(h, d)
+    c = h * d
+    rng = np.random.default_rng(5)
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * c)), jnp.float32)
+    m = rng.random((b, n)) < 0.8
+    m[:, 0] = True
+    mask = jnp.asarray(m)
+
+    out = flash_attention_qkv(qkv, h, key_mask=mask)
+    q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
+    to4 = lambda t: jnp.moveaxis(t.reshape(b, n, h, d), 1, 2)
+    ref = jnp.moveaxis(
+        xla_attention(to4(q), to4(k), to4(v), key_mask=mask), 1, 2
+    ).reshape(b, n, c)
+    diff = np.abs(np.asarray(out - ref)) * np.asarray(m)[..., None]
+    assert diff.max() < 2e-5, diff.max()
+
+    g1 = jax.grad(lambda x: jnp.sum(flash_attention_qkv(x, h, key_mask=mask) ** 2))(qkv)
+    g2 = jax.grad(lambda x: jnp.sum(
+        jnp.moveaxis(xla_attention(to4(x[..., :c]), to4(x[..., c:2*c]), to4(x[..., 2*c:]),
+                                   key_mask=mask), 1, 2).reshape(b, n, c) ** 2))(qkv)
+    gdiff = np.abs(np.asarray(g1 - g2)) * np.asarray(m)[..., None]
+    assert gdiff.max() < 2e-4, gdiff.max()
