@@ -77,6 +77,14 @@ class Predictor(nn.Module):
             nn.initializers.zeros if self.zero_init_mask_tokens else clipped_normal_init()
         )
 
+        def pick_token(table, index):
+            # mask_index may be a static int (one config) or a per-sample
+            # [B] array (both mask configs batched through one predictor
+            # call — see train/step.py); returns a broadcastable fill value
+            if isinstance(index, int):
+                return table[index % self.num_mask_tokens].astype(self.dtype)[None, None, :]
+            return table[index % self.num_mask_tokens].astype(self.dtype)[:, None, :]
+
         def _diffuse(x, rng, steps=1000, noise_beta=(0.5, 1.0)):
             # forward-diffusion target noising (reference :182-200)
             b1, b2 = noise_beta
@@ -100,8 +108,9 @@ class Predictor(nn.Module):
             mask_tokens_v = self.param(
                 "mask_tokens_v", mt_init, (self.num_mask_tokens, dp), jnp.float32
             )
-            mtv = mask_tokens_v[mask_index % self.num_mask_tokens].astype(self.dtype)
-            x_v = jnp.where(pred_mask[:, :nv, None], mtv[None, None, :], x_v)
+            x_v = jnp.where(
+                pred_mask[:, :nv, None], pick_token(mask_tokens_v, mask_index), x_v
+            )
         else:
             assert target is not None and noise_rng is not None, (
                 "use_mask_tokens=False requires target embeddings + noise_rng "
@@ -127,8 +136,9 @@ class Predictor(nn.Module):
                 mask_tokens_a = self.param(
                     "mask_tokens_a", mt_init, (self.num_mask_tokens, dp), jnp.float32
                 )
-                mta = mask_tokens_a[mask_index % self.num_mask_tokens].astype(self.dtype)
-                x_a = jnp.where(pred_mask[:, nv:, None], mta[None, None, :], x_a)
+                x_a = jnp.where(
+                    pred_mask[:, nv:, None], pick_token(mask_tokens_a, mask_index), x_a
+                )
             else:
                 noised_a = _diffuse(embed_a(target[:, nv:]), ra)
                 x_a = jnp.where(pred_mask[:, nv:, None], noised_a, x_a)

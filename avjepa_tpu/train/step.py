@@ -96,11 +96,7 @@ def make_train_step(
                 "noise_rng": jax.random.fold_in(jax.random.key(0), step),
             }
 
-        loss_jepa = 0.0
-        pstd_sum = 0.0
-        for i in range(num_cfgs):
-            enc_m = enc_masks[i]
-            pred_m = pred_masks[i]
+        def encode_ctx(i):
             if enc_idx is not None:
                 # compacted context path: encode only kept tokens (bucketed
                 # static K), scatter back to the dense layout for the
@@ -113,14 +109,37 @@ def make_train_step(
                 )
                 b = ctx_c.shape[0]
                 ctx = jnp.zeros((b, n, ctx_c.shape[-1]), ctx_c.dtype)
-                ctx = ctx.at[jnp.arange(b)[:, None], idx].set(ctx_c, mode="drop")
-            else:
-                ctx = encoder.apply(
-                    {"params": enc_params}, video, audio, key_mask=enc_m
-                )
-            z = predictor.apply(
-                {"params": pred_params}, ctx, enc_m, pred_m, i, **pred_kwargs
+                return ctx.at[jnp.arange(b)[:, None], idx].set(ctx_c, mode="drop")
+            return encoder.apply(
+                {"params": enc_params}, video, audio, key_mask=enc_masks[i]
             )
+
+        if predictor.use_mask_tokens and num_cfgs > 1:
+            # batch every mask config through ONE predictor pass (stacked
+            # along batch, per-sample mask-token index): one kernel grid
+            # instead of num_cfgs sequential full-N passes
+            b = video.shape[0]
+            ctx_all = jnp.concatenate([encode_ctx(i) for i in range(num_cfgs)], 0)
+            enc_all = enc_masks.reshape(num_cfgs * b, n)
+            pred_all = pred_masks.reshape(num_cfgs * b, n)
+            midx = jnp.repeat(jnp.arange(num_cfgs, dtype=jnp.int32), b)
+            z_all = predictor.apply(
+                {"params": pred_params}, ctx_all, enc_all, pred_all, midx
+            )
+            zs = [z_all[i * b : (i + 1) * b] for i in range(num_cfgs)]
+        else:
+            zs = [
+                predictor.apply(
+                    {"params": pred_params}, encode_ctx(i), enc_masks[i],
+                    pred_masks[i], i, **pred_kwargs
+                )
+                for i in range(num_cfgs)
+            ]
+
+        loss_jepa = 0.0
+        pstd_sum = 0.0
+        for i, z in enumerate(zs):
+            pred_m = pred_masks[i]
             loss_jepa = loss_jepa + jepa_loss(z, h, pred_m, step_cfg.loss_exp)
             # predictor variance across target tokens (reference reg_fn,
             # train.py:497-498): sqrt(var_tokens(z) + 1e-4), averaged over cfgs
