@@ -198,3 +198,26 @@ def test_batch_size_is_per_chip(tmp_path):
     assert video.shape[0] == 2 * 4  # 2/chip x (data=2 * fsdp=2)
     state, metrics = handles.step(handles.state, video, audio, masks)
     assert np.isfinite(float(jax.device_get(metrics)["loss"]))
+
+
+def test_flash_step_matches_xla(tmp_path):
+    """One full train step with the Pallas flash path (packed qkv kernels,
+    interpret mode on CPU) produces the same loss/grads as the XLA path."""
+    cfg_x = make_cfg(tmp_path, **{"data.batch_size": 1})
+    cfg_f = make_cfg(tmp_path, **{"data.batch_size": 1})
+    cfg_f.tpu.attn_impl = "flash"
+    # vit_small: head_dim 64 -> packed path; vit_tiny's 3 heads fall back
+    for c in (cfg_x, cfg_f):
+        c.model.model_name = "vit_small"
+
+    hx = pretrain.setup(cfg_x)
+    hf = pretrain.setup(cfg_f)
+    video, audio, _, masks = next(iter(hx.loader))
+    _, mx = hx.step(hx.state, video, audio, masks)
+    _, mf = hf.step(hf.state, video, audio, masks)
+    lx = float(jax.device_get(mx["loss"]))
+    lf = float(jax.device_get(mf["loss"]))
+    assert abs(lx - lf) < 1e-4, (lx, lf)
+    gx = float(jax.device_get(mx["enc_grad_norm"]))
+    gf = float(jax.device_get(mf["enc_grad_norm"]))
+    assert abs(gx - gf) / max(gx, 1e-9) < 1e-2, (gx, gf)
