@@ -162,6 +162,12 @@ class ExperimentConfig:
         assert self.model.model_name in VIT_SPECS, (
             f"unknown model {self.model.model_name}; options: {list(VIT_SPECS)}"
         )
+        heads = VIT_SPECS[self.model.model_name].num_heads
+        assert self.model.pred_embed_dim % heads == 0, (
+            f"pred_embed_dim {self.model.pred_embed_dim} not divisible by "
+            f"{self.model.model_name}'s {heads} heads (the predictor reuses "
+            f"the backbone head count; reference: predictor num_heads)"
+        )
         assert self.meta.dtype in ("float32", "bfloat16", "float16")
         assert len(self.optimization.ema) == 2
         if self.app in ("avjepa", "vjepa"):

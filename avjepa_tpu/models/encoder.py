@@ -71,14 +71,25 @@ class BlockStack(nn.Module):
     def __call__(self, x, key_mask=None):
         block_cls = _ScanBlock
         if self.remat:
+            import os
+
             import jax
 
+            names = ["attn_out", "attn_lse"]
+            # extended policies: also save the fc1 ("mlp") and/or qkv
+            # ("dots") projections so the backward recomputes fewer dots
+            # (only LN/gelu VPU sweeps remain under "dots"). Costs 4*D /
+            # 7*D bytes/token/layer of HBM ("dots" OOMs the ViT-L b24
+            # pretrain step: 16.9G > 15.75G — see BENCH.md).
+            extra = os.environ.get("AVJEPA_REMAT_SAVE", "")
+            if extra in ("mlp", "dots"):
+                names += ["mlp_pre"]
+            if extra in ("qkv", "dots"):
+                names += ["qkv_out"]
             block_cls = nn.remat(
                 _ScanBlock,
                 prevent_cse=False,
-                policy=jax.checkpoint_policies.save_only_these_names(
-                    "attn_out", "attn_lse"
-                ),
+                policy=jax.checkpoint_policies.save_only_these_names(*names),
             )
         scanned = nn.scan(
             block_cls,

@@ -24,6 +24,28 @@ from jax.ad_checkpoint import checkpoint_name
 
 from avjepa_tpu.ops.attention import attention
 from avjepa_tpu.ops.flash_attention import flash_attention_qkv, packed_qkv_eligible
+from avjepa_tpu.ops.layer_norm import layer_norm
+
+
+class FastLayerNorm(nn.Module):
+    """nn.LayerNorm-compatible module backed by the Pallas LN kernel
+    (avjepa_tpu/ops/layer_norm.py): same param tree ("scale"/"bias"), f32
+    statistics, fixed row-major operand layouts.
+
+    Not used by the flagship Block: profiled on the ViT-L pretrain step, the
+    XLA-fused LN is marginally faster there (the round-1 42%-MFU fc-dot layout
+    problem was fixed by the packed-qkv kernel, so the layout barrier buys
+    nothing). Available for models whose LN regions do get bad layouts."""
+
+    epsilon: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return layer_norm(x, scale, bias, self.epsilon)
 
 
 def clipped_normal_init(std: float = 0.02, lo: float = -2.0, hi: float = 2.0):
@@ -57,6 +79,10 @@ class Mlp(nn.Module):
         x = nn.Dense(
             self.hidden_dim, dtype=self.dtype, kernel_init=self.kernel_init, name="fc1"
         )(x)
+        # named so an extended remat policy ("mlp_pre") can save the fc1
+        # output: the backward then skips the fc1 dot recompute and gets the
+        # gelu-bwd input for free (gelu itself is one cheap VPU recompute)
+        x = checkpoint_name(x, "mlp_pre")
         x = nn.gelu(x, approximate=self.gelu == "tanh")
         x = nn.Dense(
             out_dim, dtype=self.dtype, kernel_init=self.kernel_init, name="fc2"
@@ -84,6 +110,10 @@ class Attention(nn.Module):
             kernel_init=self.kernel_init,
             name="qkv",
         )(x)
+        # named so an extended remat policy ("qkv_out") can save the fused
+        # qkv projection — it is also the flash kernel's vjp residual, so
+        # saving it removes the qkv dot recompute from the backward
+        qkv = checkpoint_name(qkv, "qkv_out")
         if self.attn_impl == "flash" and packed_qkv_eligible(self.num_heads, head_dim):
             # packed path: the kernel reads the fused qkv output in place and
             # emits [B, N, C] straight into the projection — no moveaxis

@@ -36,7 +36,9 @@ SOFTMAX_CLAMP = 60.0
 
 # v5e has 128 MiB of VMEM; the compiler's default scoped-vmem budget is a
 # conservative 16 MiB. Our kernels hold full K/V rows plus several score
-# tiles, so give them a bigger window (leaving room for XLA's own scoped use).
+# tiles, so give them a bigger window (leaving room for XLA's own scoped
+# use). 64 MiB was tried and is NOT enough: the packed bwd kernel's unrolled
+# 16-head loop (d=24 predictor) allocates a 75.4 MiB Mosaic stack.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
@@ -458,6 +460,17 @@ def _fwd_packed_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     # Mosaic only allows dynamic store offsets on SUBLANE dims (multiples of
     # 8), so lse is emitted [N, hpb] (heads in lanes) — the wrapper transposes
     # it once, outside the kernel, into the padding-friendly [hpb, N] form.
+    #
+    # VPU-sweep economy (the kernels are sweep-bound, not MXU-bound, at JEPA
+    # head dims — every elementwise op over the [bq, N] f32 score tile costs
+    # a full VPU sweep):
+    #  - the softmax scale is folded into the TINY q tile ([bq, d] work)
+    #    instead of multiplying the score tile;
+    #  - no-max softmax: clamp only the TOP at +SOFTMAX_CLAMP (exp(60)*N is
+    #    far below f32 overflow); very negative logits underflow to 0 on
+    #    their own, so no lower clamp — masked keys (s = -1e30) get exactly
+    #    p = 0, and a fully-masked row outputs exactly 0 (the XLA path
+    #    returns garbage there; callers treat those rows as don't-care).
     k_all = k_ref[0, :, :]
     v_all = v_ref[0, :, :]
     bias = mask_ref[0, 0:1, :] if mask_ref is not None else None  # [1, N]
@@ -469,20 +482,14 @@ def _fwd_packed_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         lse_parts = []
         for hi in range(hpb):
             hs = slice(hi * d, (hi + 1) * d)
-            q = q2[:, hs]
+            q = (q2[:, hs].astype(jnp.float32) * scale).astype(q2.dtype)
             s = jax.lax.dot_general(
                 q, k_all[:, hs], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale  # [bq, N] f32
+            )  # [bq, N] f32, pre-scaled via q
             if bias is not None:
                 s = s + bias
-            # no-max softmax: clamp to +-SOFTMAX_CLAMP instead of subtracting
-            # the row max — exp(60)*N is far below f32 overflow, identical
-            # softmax for sane logits, saturation beyond — saving a full VPU
-            # sweep over the score tile (the kernels are sweep-bound, not
-            # MXU-bound, at JEPA head dims)
-            s = jnp.clip(s, -SOFTMAX_CLAMP, SOFTMAX_CLAMP)
-            p = jnp.exp(s)
+            p = jnp.exp(jnp.minimum(s, SOFTMAX_CLAMP))
             l = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
             acc = jax.lax.dot_general(
                 p.astype(q2.dtype), v_all[:, hs], (((1,), (0,)), ((), ())),
@@ -498,73 +505,78 @@ def _fwd_packed_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
 
 
 def _bwd_packed_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
-                       dq_ref, dk_ref, dv_ref,
+                       delta_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
                        *, scale, d, hpb, block_q, nq):
-    # lse arrives [1, 1, N, hpb] (heads in lanes) so per-q-block reads only
-    # need dynamic SUBLANE offsets; per-head lse is a static lane slice.
+    # lse/delta arrive [1, 1, N, hpb] (heads in lanes) so per-q-block reads
+    # only need dynamic SUBLANE offsets; per-head columns are static lane
+    # slices.
     #
-    # No attention-output operand: with the full-width K block, the softmax
-    # correction term is computed in-tile as delta_i = sum_j p_ij * dp_ij
-    # (== do_i . o_i exactly, since p = exp(s - lse) is the normalized
-    # probability). Dropping o removes a saved residual the size of the
-    # activations per layer — XLA was storing it twice, once transposed with
-    # 5.3x tile padding (1.83 GB for the 12-layer predictor stack).
+    # The softmax-correction term delta_i = sum_j p_ij * dp_ij == do_i . o_i
+    # is precomputed OUTSIDE the kernel from the attention output (which is
+    # already a saved residual for the projection dW) — N*d work in a fused
+    # XLA op replaces a multiply + reduce sweep over every [bq, N] f32 score
+    # tile. The scale is folded into the tiny q/k tiles the same way as the
+    # forward: s is pre-scaled via q, and dk = ds^T @ (scale*q),
+    # dq = ds @ (scale*k) use pre-scaled operands, so ds itself never needs
+    # a scale sweep.
+    #
+    # dk/dv accumulate in [N, w] f32 VMEM *scratch* refs with static lane
+    # slices per head — NOT as fori_loop-carried tuples of [N, d] arrays: the
+    # carried-tuple form kept every unrolled head's temporaries live and blew
+    # the Mosaic stack to 75 MiB at hpb=16 (d=24 predictor).
     k_all = k_ref[0, :, :]
     v_all = v_ref[0, :, :]
+    ks_all = (k_all.astype(jnp.float32) * scale).astype(k_all.dtype)
     bias = mask_ref[0, 0:1, :] if mask_ref is not None else None
 
-    n = k_all.shape[0]
-    dk0 = tuple(jnp.zeros((n, d), jnp.float32) for _ in range(hpb))
-    dv0 = tuple(jnp.zeros((n, d), jnp.float32) for _ in range(hpb))
+    dk_acc[...] = jnp.zeros_like(dk_acc)
+    dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    def q_block(qi, carry):
-        dks, dvs = carry
+    def q_block(qi, _):
         qsl = pl.ds(qi * block_q, block_q)
         q2 = q_ref[0, qsl, :]
         do2 = do_ref[0, qsl, :]
         lse2 = lse_ref[0, 0, qsl, :]  # [bq, hpb] f32
+        delta2 = delta_ref[0, 0, qsl, :]  # [bq, hpb] f32
         dq_parts = []
-        dks_new = []
-        dvs_new = []
         for hi in range(hpb):
             hs = slice(hi * d, (hi + 1) * d)
-            q = q2[:, hs]
+            qs = (q2[:, hs].astype(jnp.float32) * scale).astype(q2.dtype)
             do = do2[:, hs]
             lse = lse2[:, hi:hi + 1]  # [bq, 1]
+            delta = delta2[:, hi:hi + 1]  # [bq, 1]
             s = jax.lax.dot_general(
-                q, k_all[:, hs], (((1,), (1,)), ((), ())),
+                qs, k_all[:, hs], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale
+            )
             if bias is not None:
                 s = s + bias
-            s = jnp.clip(s, -SOFTMAX_CLAMP, SOFTMAX_CLAMP)  # match the forward
-            p = jnp.exp(s - lse)
+            p = jnp.exp(jnp.minimum(s, SOFTMAX_CLAMP) - lse)  # match the fwd
             p_lo = p.astype(q2.dtype)
-            dvs_new.append(dvs[hi] + jax.lax.dot_general(
+            dv_acc[:, hs] += jax.lax.dot_general(
                 p_lo, do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ))
+            )
             dp = jax.lax.dot_general(
                 do, v_all[:, hs], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            delta = jnp.sum(p * dp, axis=1, keepdims=True)
-            ds = p * (dp - delta) * scale
+            ds = p * (dp - delta)
             ds_lo = ds.astype(q2.dtype)
-            dks_new.append(dks[hi] + jax.lax.dot_general(
-                ds_lo, q, (((0,), (0,)), ((), ())),
+            dk_acc[:, hs] += jax.lax.dot_general(
+                ds_lo, qs, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ))
+            )
             dq_parts.append(jax.lax.dot_general(
-                ds_lo, k_all[:, hs], (((1,), (0,)), ((), ())),
+                ds_lo, ks_all[:, hs], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ))
         dq_ref[0, qsl, :] = jnp.concatenate(dq_parts, axis=1).astype(dq_ref.dtype)
-        return tuple(dks_new), tuple(dvs_new)
+        return 0
 
-    dks, dvs = jax.lax.fori_loop(0, nq, q_block, (dk0, dv0))
-    dk_ref[0, :, :] = jnp.concatenate(list(dks), axis=1).astype(dk_ref.dtype)
-    dv_ref[0, :, :] = jnp.concatenate(list(dvs), axis=1).astype(dv_ref.dtype)
+    jax.lax.fori_loop(0, nq, q_block, 0)
+    dk_ref[0, :, :] = dk_acc[...].astype(dk_ref.dtype)
+    dv_ref[0, :, :] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _packed_specs(b, n, c, w, g_total, with_mask):
@@ -590,7 +602,9 @@ def _flash_packed_fwd_impl(qkv, mask3, scale, h, d):
     hpb = _heads_per_block(d)
     w = hpb * d
     G = h // hpb
-    block_q, _ = _pick_blocks(n, s_budget_bytes=6 * 1024 * 1024)
+    # one head's f32 score tile lives at a time; 12 MB admits a full-width
+    # q-block at JEPA sizes (N=1664 -> one sweep, no q-loop)
+    block_q, _ = _pick_blocks(n, s_budget_bytes=12 * 1024 * 1024)
     nq = n // block_q
 
     in_specs, grid = _packed_specs(b, n, c, w, G, mask3 is not None)
@@ -627,13 +641,17 @@ def _flash_packed_fwd_impl(qkv, mask3, scale, h, d):
     return out, jnp.swapaxes(lse, 2, 3)  # [b, G, hpb, n]
 
 
-def _flash_packed_bwd_impl(qkv, mask3, lse, g, scale, h, d):
+def _flash_packed_bwd_impl(qkv, mask3, lse, delta, g, scale, h, d):
     b, n, c3 = qkv.shape
     c = c3 // 3
     hpb = _heads_per_block(d)
     w = hpb * d
     G = h // hpb
-    block_q = _bwd_block_q(n, n)
+    # the scratch-accumulator formulation keeps only ONE head's score tiles
+    # live, so the q-block can be twice the classic bwd's (10 MB f32 tile
+    # budget -> 832 at N=1664): fewer, larger VPU sweeps per score tile.
+    # (A 23 MB/full-width budget was tried: Mosaic compile time explodes.)
+    block_q = _bwd_block_q(n, n, s_budget_bytes=10_000_000)
     nq = n // block_q
 
     in_specs, grid = _packed_specs(b, n, c, w, G, mask3 is not None)
@@ -645,26 +663,31 @@ def _flash_packed_bwd_impl(qkv, mask3, lse, g, scale, h, d):
 
     def kernel(*refs):
         if mask3 is not None:
-            (q_ref, k_ref, v_ref, m_ref, do_ref, lse_ref,
-             dq_ref, dk_ref, dv_ref) = refs
+            (q_ref, k_ref, v_ref, m_ref, do_ref, lse_ref, delta_ref,
+             dq_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
         else:
-            (q_ref, k_ref, v_ref, do_ref, lse_ref,
-             dq_ref, dk_ref, dv_ref) = refs
+            (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+             dq_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
             m_ref = None
         _bwd_packed_kernel(q_ref, k_ref, v_ref, m_ref, do_ref, lse_ref,
-                           dq_ref, dk_ref, dv_ref,
+                           delta_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
                            scale=scale, d=d, hpb=hpb, block_q=block_q, nq=nq)
 
-    args = [qkv, qkv, qkv] + ([mask3] if mask3 is not None else []) + [g, lse]
+    args = ([qkv, qkv, qkv] + ([mask3] if mask3 is not None else [])
+            + [g, lse, delta])
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=in_specs + [row_spec, lse_spec],
+        in_specs=in_specs + [row_spec, lse_spec, lse_spec],
         out_specs=[row_spec, row_spec, row_spec],
         out_shape=[
             jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
             jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
             jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, w), jnp.float32),
+            pltpu.VMEM((n, w), jnp.float32),
         ],
         interpret=_interpret(),
         compiler_params=_COMPILER_PARAMS,
@@ -688,16 +711,30 @@ def _flash_packed_fwd(qkv, mask3, scale, h, d):
     # 351 MB stack to 1.83 GB (observed OOM). In 2D both orientations are
     # 128-aligned, so whichever XLA picks is padding-free.
     b, n, c = out.shape
-    # out is named so the proj-dW consumer reuses it under remat, but it is
-    # NOT a kernel residual (the backward computes delta in-tile)
+    # out is named so the proj-dW consumer reuses it under remat; the same
+    # saved tensor feeds the backward's softmax-correction term
+    # (delta = rowsum(dO . O)), so carrying it as a kernel residual costs no
+    # extra HBM
     out2 = checkpoint_name(out.reshape(b * n, c), "attn_out")
     lse = checkpoint_name(lse, "attn_lse")
-    return out2.reshape(b, n, c), (qkv, mask3, lse)
+    out3 = out2.reshape(b, n, c)
+    return out3, (qkv, mask3, lse, out3)
 
 
 def _flash_packed_bwd(scale, h, d, res, g):
-    qkv, mask3, lse = res
-    dqkv = _flash_packed_bwd_impl(qkv, mask3, lse, g, scale, h, d)
+    qkv, mask3, lse, out = res
+    b, n, c = out.shape
+    hpb = _heads_per_block(d)
+    G = (c // d) // hpb
+    # softmax-correction term delta_i = dO_i . O_i per head: N*d work fused
+    # by XLA, replacing a multiply+reduce VPU sweep pair over every [bq, N]
+    # f32 score tile inside the kernel. Shaped/transposed like lse so the
+    # kernel reads per-head columns as static lane slices.
+    delta = (g.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
+        b, n, G, hpb, d
+    ).sum(-1)
+    delta = delta.transpose(0, 2, 1, 3)  # [b, G, n, hpb]
+    dqkv = _flash_packed_bwd_impl(qkv, mask3, lse, delta, g, scale, h, d)
     if mask3 is None:
         return dqkv, None
     import numpy as np

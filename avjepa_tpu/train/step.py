@@ -117,16 +117,21 @@ def make_train_step(
         if predictor.use_mask_tokens and num_cfgs > 1:
             # batch every mask config through ONE predictor pass (stacked
             # along batch, per-sample mask-token index): one kernel grid
-            # instead of num_cfgs sequential full-N passes
+            # instead of num_cfgs sequential full-N passes. The merge is
+            # BATCH-major ([b0cfg0, b0cfg1, b1cfg0, ...]): merging (B, M) with
+            # B leading keeps the batch sharding representable under SPMD —
+            # config-major ordering forced an involuntary full remat of the
+            # mask tensors on multi-chip meshes.
             b = video.shape[0]
-            ctx_all = jnp.concatenate([encode_ctx(i) for i in range(num_cfgs)], 0)
-            enc_all = enc_masks.reshape(num_cfgs * b, n)
-            pred_all = pred_masks.reshape(num_cfgs * b, n)
-            midx = jnp.repeat(jnp.arange(num_cfgs, dtype=jnp.int32), b)
+            ctx_all = jnp.stack([encode_ctx(i) for i in range(num_cfgs)], 1)
+            ctx_all = ctx_all.reshape(b * num_cfgs, n, ctx_all.shape[-1])
+            enc_all = jnp.swapaxes(enc_masks, 0, 1).reshape(b * num_cfgs, n)
+            pred_all = jnp.swapaxes(pred_masks, 0, 1).reshape(b * num_cfgs, n)
+            midx = jnp.tile(jnp.arange(num_cfgs, dtype=jnp.int32), b)
             z_all = predictor.apply(
                 {"params": pred_params}, ctx_all, enc_all, pred_all, midx
             )
-            zs = [z_all[i * b : (i + 1) * b] for i in range(num_cfgs)]
+            zs = [z_all[i::num_cfgs] for i in range(num_cfgs)]
         else:
             zs = [
                 predictor.apply(

@@ -126,11 +126,14 @@ def test_packed_qkv_matches_classic():
         diff = np.abs(np.asarray(out_p - out_c)) * valid
         assert diff.max() < 2e-5, diff.max()
 
-        g_p = jax.jit(jax.grad(lambda x: jnp.sum(packed(x, m) ** 2)))(qkv)
-        g_c = jax.jit(jax.grad(lambda x: jnp.sum(classic(x, m) ** 2)))(qkv)
-        # zero out grads at invalid query rows: classic/XLA produces garbage
-        # outputs there by design (callers mask them), packed does too
-        gdiff = np.abs(np.asarray(g_p - g_c)) * valid
+        # the loss reads only valid query rows, as real callers do: outputs
+        # at invalid rows are don't-care (XLA produces uniform-attention
+        # garbage there, the packed kernel produces exact zeros), so no
+        # gradient may flow from them
+        vj = jnp.asarray(valid)
+        g_p = jax.jit(jax.grad(lambda x: jnp.sum(jnp.where(vj, packed(x, m), 0.0) ** 2)))(qkv)
+        g_c = jax.jit(jax.grad(lambda x: jnp.sum(jnp.where(vj, classic(x, m), 0.0) ** 2)))(qkv)
+        gdiff = np.abs(np.asarray(g_p - g_c))
         assert gdiff.max() < 2e-4, gdiff.max()
 
 
@@ -178,9 +181,14 @@ def test_packed_qkv_odd_head_dim():
     diff = np.abs(np.asarray(out - ref)) * np.asarray(m)[..., None]
     assert diff.max() < 2e-5, diff.max()
 
-    g1 = jax.grad(lambda x: jnp.sum(flash_attention_qkv(x, h, key_mask=mask) ** 2))(qkv)
-    g2 = jax.grad(lambda x: jnp.sum(
+    # loss over valid query rows only (invalid rows are don't-care; see
+    # test_packed_qkv_matches_classic)
+    vj = jnp.asarray(m)[..., None]
+    g1 = jax.grad(lambda x: jnp.sum(
+        jnp.where(vj, flash_attention_qkv(x, h, key_mask=mask), 0.0) ** 2))(qkv)
+    g2 = jax.grad(lambda x: jnp.sum(jnp.where(
+        vj,
         jnp.moveaxis(xla_attention(to4(x[..., :c]), to4(x[..., c:2*c]), to4(x[..., 2*c:]),
-                                   key_mask=mask), 1, 2).reshape(b, n, c) ** 2))(qkv)
-    gdiff = np.abs(np.asarray(g1 - g2)) * np.asarray(m)[..., None]
+                                   key_mask=mask), 1, 2).reshape(b, n, c), 0.0) ** 2))(qkv)
+    gdiff = np.abs(np.asarray(g1 - g2))
     assert gdiff.max() < 2e-4, gdiff.max()
