@@ -157,12 +157,18 @@ class Compose:
         self.transforms = list(transforms)
 
     def __call__(self, clip: np.ndarray, rng: Optional[np.random.Generator] = None):
+        import inspect
+
         rng = rng or np.random.default_rng()
         for t in self.transforms:
+            # pass the rng only to transforms that accept it — decided by
+            # signature, not by catching TypeError (which would swallow
+            # genuine TypeErrors raised inside the transform and re-run it)
             try:
-                clip = t(clip, rng)
-            except TypeError:
-                clip = t(clip)
+                takes_rng = len(inspect.signature(t).parameters) >= 2
+            except (TypeError, ValueError):
+                takes_rng = False
+            clip = t(clip, rng) if takes_rng else t(clip)
         return clip
 
 
@@ -228,10 +234,17 @@ class ThreeCrop:
     def __call__(self, clip: np.ndarray, rng=None) -> np.ndarray:
         clip = _as_clip(clip)
         t, h, w, c = clip.shape
-        if h != self.size[0] and w != self.size[1]:
-            clip = _resize_bilinear(clip, self.size[0], self.size[1])
-            h, w = self.size
-        crops = [uniform_crop(clip, self.size[0], i) for i in range(3)]
+        size = self.size[0]
+        # resize the SHORT side to `size` (keeping the long side proportional)
+        # so the three uniform_crop positions slide along the long side —
+        # resizing both sides to (size, size) would make all three crops
+        # identical
+        if min(h, w) != size:
+            if h <= w:
+                clip = _resize_bilinear(clip, size, max(size, round(w * size / h)))
+            else:
+                clip = _resize_bilinear(clip, max(size, round(h * size / w)), size)
+        crops = [uniform_crop(clip, size, i) for i in range(3)]
         return np.concatenate(crops, axis=0)
 
 

@@ -69,6 +69,8 @@ class ImageEvalConfig:
     checkpoint: str = ""
     seed: int = 0
     source: str = "files"
+    # must match the GELU the checkpoint was pretrained with (tpu.gelu)
+    gelu: str = "tanh"
 
 
 def config_from_yaml(d: dict) -> ImageEvalConfig:
@@ -96,6 +98,7 @@ def config_from_yaml(d: dict) -> ImageEvalConfig:
         uniform_power=pre.get("uniform_power", True),
         checkpoint=os.path.join(pre.get("folder", ""), pre.get("checkpoint", "")),
         source=data.get("source", "files"),
+        gelu=d.get("tpu", {}).get("gelu", pre.get("gelu", "tanh")),
     )
 
 
@@ -180,7 +183,8 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
         audio_enabled=False,
     )
     encoder = make_encoder(
-        cfg.model_name, layout, uniform_power=cfg.uniform_power, dtype=dtype
+        cfg.model_name, layout, uniform_power=cfg.uniform_power, dtype=dtype,
+        gelu=cfg.gelu,
     )
     enc_params = init_encoder_params(encoder, jax.random.key(cfg.seed))
     if cfg.checkpoint and os.path.isdir(cfg.checkpoint):
@@ -262,9 +266,7 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
         logits = classifier.apply({"params": cls_params}, feats)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
-    @jax.jit
-    def count_correct(probs, labels):
-        return jnp.sum((jnp.argmax(probs, -1) == labels).astype(jnp.int32))
+    from avjepa_tpu.parallel.mesh import count_correct
 
     opt = adamw_init(cls_params)
     step = jnp.zeros((), jnp.int32)
@@ -275,8 +277,9 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
         sampler.set_epoch(epoch)
         meter = AverageMeter()
         for indices in sampler:
-            imgs = np.stack([train_ds[int(i)][0] for i in indices])
-            labels = np.asarray([train_ds[int(i)][1] for i in indices])
+            samples = [train_ds[int(i)] for i in indices]
+            imgs = np.stack([s[0] for s in samples])
+            labels = np.asarray([s[1] for s in samples])
             feats = encode(enc_params, put_batch(mesh, imgs))
             cls_params, opt, m = train_step(
                 cls_params, opt, step, feats, put_batch(mesh, labels)
@@ -294,8 +297,9 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
     val_sampler = ShardedSampler(len(val_ds), local_batch, shuffle=False)
     correct = count = 0
     for indices in val_sampler:
-        imgs = np.stack([val_ds[int(i)][0] for i in indices])
-        labels = np.asarray([val_ds[int(i)][1] for i in indices])
+        samples = [val_ds[int(i)] for i in indices]
+        imgs = np.stack([s[0] for s in samples])
+        labels = np.asarray([s[1] for s in samples])
         probs = predict(cls_params, encode(enc_params, put_batch(mesh, imgs)))
         labels_g = put_batch(mesh, labels)
         correct += int(jax.device_get(count_correct(probs, labels_g)))

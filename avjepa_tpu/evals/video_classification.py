@@ -78,6 +78,10 @@ class VideoEvalConfig:
     seed: int = 0
     # tpu build extension
     source: str = "files"  # 'synthetic' for tests
+    # must match the GELU the checkpoint was PRETRAINED with (tpu.gelu in the
+    # pretrain config; 'tanh' is the pretrain default) — a mismatch is a
+    # silent forward-numerics divergence in the frozen encoder
+    gelu: str = "tanh"
 
 
 def config_from_yaml(d: dict) -> VideoEvalConfig:
@@ -112,6 +116,7 @@ def config_from_yaml(d: dict) -> VideoEvalConfig:
         folder=d.get("folder", d.get("logging", {}).get("folder", "./eval_logs")),
         tag=d.get("tag", "video-eval"),
         source=data.get("source", "files"),
+        gelu=d.get("tpu", {}).get("gelu", pre.get("gelu", "tanh")),
     )
 
 
@@ -224,7 +229,8 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
         audio_enabled=False,
     )
     encoder = make_encoder(
-        cfg.model_name, layout, uniform_power=cfg.uniform_power, dtype=dtype
+        cfg.model_name, layout, uniform_power=cfg.uniform_power, dtype=dtype,
+        gelu=cfg.gelu,
     )
     from avjepa_tpu.models import init_encoder_params
 
@@ -347,11 +353,7 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
         logits = classifier.apply({"params": cls_params}, feats)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
-    @jax.jit
-    def count_correct(probs, labels):
-        # global-batch sum: XLA reduces across the data mesh axis (and, with
-        # process-local shards, across hosts) — reference AllReduce parity
-        return jnp.sum((jnp.argmax(probs, -1) == labels).astype(jnp.int32))
+    from avjepa_tpu.parallel.mesh import count_correct
 
     def batchify(ds, indices):
         views, segs, labels = [], [], []

@@ -159,6 +159,19 @@ def eval_mesh() -> Mesh:
     return make_mesh(jax.device_count(), 1, 1)
 
 
+@jax.jit
+def count_correct(probs: jax.Array, labels: jax.Array) -> jax.Array:
+    """Global-batch correct-prediction count for sharded eval batches.
+
+    XLA reduces across the data mesh axis (and, with process-local shards
+    from put_batch, across hosts) — the analog of the reference's eval
+    accuracy AllReduce (evals/video_classification_frozen/eval.py:364).
+    """
+    import jax.numpy as jnp
+
+    return jnp.sum((jnp.argmax(probs, -1) == labels).astype(jnp.int32))
+
+
 def put_batch(mesh: Mesh, x: Any) -> jax.Array:
     """Place a host batch on the mesh, sharded over the batch axes.
 

@@ -193,7 +193,8 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
             enc_m, pred_m = stack_masksets(masks)
             probe_state, metrics = step_fn(
                 probe_state, enc_params, pred_params,
-                jnp.asarray(video), jnp.asarray(audio),
+                jnp.asarray(video),
+                None if audio is None else jnp.asarray(audio),
                 jnp.asarray(enc_m), jnp.asarray(pred_m),
             )
             metrics = jax.device_get(metrics)
@@ -248,7 +249,8 @@ def example_main(args: dict, resume_preempt: bool = False):
     enc_m, pred_m = stack_masksets(masks)
     state = handles.state
     ctx = handles.encoder.apply(
-        {"params": state.target_params}, jnp.asarray(video), jnp.asarray(audio),
+        {"params": state.target_params}, jnp.asarray(video),
+        None if audio is None else jnp.asarray(audio),
         key_mask=jnp.asarray(enc_m[0]),
     )
     z = handles.predictor.apply(
@@ -267,7 +269,9 @@ def example_main(args: dict, resume_preempt: bool = False):
         video=np.asarray(video[0]),
         video_recon=np.asarray(video_recon[0]),
         audio=np.asarray(audio[0]) if audio is not None else np.zeros(1),
-        audio_recon=np.asarray(audio_recon[0]),
+        audio_recon=(
+            np.asarray(audio_recon[0]) if audio_recon is not None else np.zeros(1)
+        ),
     )
     logger.info(f"wrote {out_path}")
     try:
@@ -276,15 +280,18 @@ def example_main(args: dict, resume_preempt: bool = False):
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        fig, axes = plt.subplots(2, 2, figsize=(10, 8))
+        with_audio = audio is not None and audio_recon is not None
+        fig, axes = plt.subplots(2 if with_audio else 1, 2, figsize=(10, 8),
+                                 squeeze=False)
         axes[0, 0].imshow(np.clip(np.asarray(video[0, 0]), 0, 1))
         axes[0, 0].set_title("original frame")
         axes[0, 1].imshow(np.clip(np.asarray(video_recon[0, 0]), 0, 1))
         axes[0, 1].set_title("reconstructed frame")
-        axes[1, 0].imshow(np.asarray(audio[0, :, :, 0]), aspect="auto")
-        axes[1, 0].set_title("original spectrogram")
-        axes[1, 1].imshow(np.asarray(audio_recon[0, :, :, 0]), aspect="auto")
-        axes[1, 1].set_title("reconstructed spectrogram")
+        if with_audio:
+            axes[1, 0].imshow(np.asarray(audio[0, :, :, 0]), aspect="auto")
+            axes[1, 0].set_title("original spectrogram")
+            axes[1, 1].imshow(np.asarray(audio_recon[0, :, :, 0]), aspect="auto")
+            axes[1, 1].set_title("reconstructed spectrogram")
         png = os.path.join(folder, "avprediction_example.png")
         fig.savefig(png, dpi=100, bbox_inches="tight")
         logger.info(f"wrote {png}")

@@ -90,3 +90,14 @@ def test_probe_video_only(tmp_path):
     metrics = jax.device_get(metrics)
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["loss_audio"]) == 0.0
+
+
+def test_probe_video_only_run_entrypoint(tmp_path):
+    """The run() app entrypoint itself (not just step_fn) must handle a
+    video-only loader (audio is None there; regression: it crashed in
+    jnp.asarray(None))."""
+    cfg = make_cfg(tmp_path)
+    cfg.app = "vjepa_prediction"
+    cfg.data.dataset_type = "videodataset"
+    summary = avprediction.run(cfg, max_steps=1)
+    assert np.isfinite(summary["avg_loss"])

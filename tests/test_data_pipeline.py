@@ -228,6 +228,13 @@ def test_video_transform_class_family():
     np.testing.assert_allclose(cc, clip[:, 8:40, 16:48])
     three = vt.ThreeCrop(32)(vt.Resize((32, 64))(clip))
     assert three.shape == (12, 32, 32, 3)
+    # the three crops slide along the long side — they must differ
+    assert not np.allclose(three[:4], three[4:8])
+    assert not np.allclose(three[4:8], three[8:])
+    # non-square input resizes the SHORT side to size (not both dims)
+    three2 = vt.ThreeCrop(32)(clip)  # 48x64 -> 32x~43 -> three 32x32 crops
+    assert three2.shape == (12, 32, 32, 3)
+    assert not np.allclose(three2[:4], three2[8:])
 
     # flip p=1 flips width
     flipped = vt.RandomHorizontalFlip(1.0)(clip, rng)

@@ -137,6 +137,64 @@ def test_packed_qkv_matches_classic():
         assert gdiff.max() < 2e-4, gdiff.max()
 
 
+def test_packed_qkv_saturated_logits():
+    """Logits above SOFTMAX_CLAMP: the forward saturates (clamped softmax)
+    and the backward must match the gradient of that clamped function —
+    clamped logits get zero gradient, unclamped ones the standard formula
+    with the actual (clamp-normalized) probabilities."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from avjepa_tpu.ops.flash_attention import SOFTMAX_CLAMP, flash_attention_qkv
+
+    b, n, h, d = 1, 128, 4, 32
+    c = h * d
+    rng = np.random.default_rng(7)
+    qkv = np.asarray(rng.normal(size=(b, n, 3 * c)), np.float32)
+    # blow up a few q rows so several logits per row cross the clamp
+    qkv[:, :8, :c] *= 40.0
+    qkv = jnp.asarray(qkv)
+
+    def ref_np(qkv64):
+        """float64 numpy reference: saturated rows (one p ~ 1) make the f32
+        autodiff softmax-quotient backward catastrophically cancel, so the
+        comparison baseline must be f64 (verified: the kernel's
+        ds = p*(dp - dO.O) formulation matches f64 autodiff to ~1e-6 in f32,
+        while f32 autodiff of this same function is off by O(10))."""
+        q = qkv64[..., :c].reshape(b, n, h, d)
+        k = qkv64[..., c:2 * c].reshape(b, n, h, d)
+        v = qkv64[..., 2 * c:].reshape(b, n, h, d)
+        s = np.einsum("bqhd,bkhd->bhqk", q, k) * (d ** -0.5)
+        s = np.minimum(s, SOFTMAX_CLAMP)
+        p = np.exp(s)
+        p = p / p.sum(-1, keepdims=True)
+        o = np.einsum("bhqk,bkhd->bqhd", p, v)
+        # gradient of sum(o**2)
+        do = 2 * o
+        dp = np.einsum("bqhd,bkhd->bhqk", do, v)
+        dv = np.einsum("bhqk,bqhd->bkhd", p, do)
+        delta = (p * dp).sum(-1, keepdims=True)
+        ds = np.where(s < SOFTMAX_CLAMP, p * (dp - delta), 0.0) * (d ** -0.5)
+        dq = np.einsum("bhqk,bkhd->bqhd", ds, k)
+        dk = np.einsum("bhqk,bqhd->bkhd", ds, q)
+        grad = np.concatenate(
+            [dq.reshape(b, n, c), dk.reshape(b, n, c), dv.reshape(b, n, c)], -1
+        )
+        return o.reshape(b, n, c), grad
+
+    exp_out, exp_grad = ref_np(np.asarray(qkv, np.float64))
+    out = flash_attention_qkv(qkv, h)
+    assert np.abs(np.asarray(out, np.float64) - exp_out).max() < 5e-5
+
+    g1 = np.asarray(
+        jax.grad(lambda x: jnp.sum(flash_attention_qkv(x, h) ** 2))(qkv),
+        np.float64,
+    )
+    # relative tolerance: boosted rows make gradient magnitudes O(100)
+    gerr = np.abs(g1 - exp_grad) / (1.0 + np.abs(exp_grad))
+    assert gerr.max() < 1e-3, gerr.max()
+
+
 def test_packed_qkv_pads_n():
     import jax.numpy as jnp
     import numpy as np

@@ -5,8 +5,8 @@ Times fwd and fwd+bwd of `avjepa_tpu.ops.flash_attention.flash_attention`
 actually runs:
 
   encoder-target  B24 H16 N1664 d64  (no mask)
-  predictor       B24 H12 N1664 d32  (mask: enc|pred union, ~all valid)
-  predictor-2cfg  B48 H12 N1664 d32  (both mask configs batched)
+  predictor       B24 H16 N1664 d24  (mask: enc|pred union, ~all valid)
+  predictor-2cfg  B48 H16 N1664 d24  (both mask configs batched)
   context-K512    B24 H16 N512  d64  (bucketed compact tokens)
   context-K128    B24 H16 N128  d64
 
@@ -33,8 +33,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 SHAPES = [
     ("enc-target", 24, 16, 1664, 64, None),
-    ("predictor", 24, 12, 1664, 32, 0.98),
-    ("pred-2cfg", 48, 12, 1664, 32, 0.98),
+    # ViT-L predictor: pred_embed_dim 384 / 16 heads -> head_dim 24
+    ("predictor", 24, 16, 1664, 24, 0.98),
+    ("pred-2cfg", 48, 16, 1664, 24, 0.98),
     ("ctx-K512", 24, 16, 512, 64, 1.0),
     ("ctx-K128", 24, 16, 128, 64, 1.0),
 ]
