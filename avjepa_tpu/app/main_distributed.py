@@ -36,7 +36,10 @@ def launch_one(fname: str, folder: str | None, resume_preempt: bool) -> None:
     with open(fname) as f:
         params = yaml.safe_load(f)
     if folder:
-        params.setdefault("logging", {})["folder"] = folder
+        # a bare 'logging:' key parses to None — setdefault would return it
+        if params.get("logging") is None:
+            params["logging"] = {}
+        params["logging"]["folder"] = folder
     if "eval_name" in params:
         # eval configs batch-launch through the same entry
         # (reference: evals/main_distributed.py)

@@ -39,8 +39,14 @@ def load_index(csv_paths: Sequence[str]) -> tuple[list[str], np.ndarray, np.ndar
             rows = np.load(p, allow_pickle=True)
             for row in rows:
                 parts = str(row).rsplit(" ", 1)
-                paths.append(parts[0])
-                labels.append(int(float(parts[1])) if len(parts) > 1 else 0)
+                # same fallback as the CSV branch: a row whose path contains
+                # spaces and has no trailing numeric label is all-path
+                try:
+                    labels.append(int(float(parts[1])))
+                    paths.append(parts[0])
+                except (IndexError, ValueError):
+                    labels.append(0)
+                    paths.append(str(row))
                 ds_ids.append(di)
         else:
             with open(p) as f:
@@ -160,6 +166,13 @@ class AVFileDataset:
         # per-dataset weights support (reference weighted sampler computes
         # sample_weights = dataset_weight / num_samples per dataset)
         self._epoch_salt = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Salt the per-sample augmentation/clip RNG by the epoch so each
+        epoch sees fresh crops/flips/clip positions (the torch DataLoader
+        gets this implicitly from worker reseeding; JepaLoader.set_epoch and
+        the process-pool tasks call this explicitly)."""
+        self._epoch_salt = int(epoch)
 
     def __len__(self) -> int:
         return len(self.paths)

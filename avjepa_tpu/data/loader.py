@@ -31,17 +31,26 @@ def _init_worker(dataset):
     _WORKER_DATASET = dataset
 
 
-def _fetch_worker(idx: int):
-    # retry-resample loop on decode failure
+def _fetch_with_retry(dataset, idx: int):
+    # retry-resample loop on decode failure — the single implementation for
+    # both the thread and process pools
     # (reference: src/datasets/audiovideo_dataset.py:163-170)
     for attempt in range(10):
         try:
-            return _WORKER_DATASET[int(idx)]
+            return dataset[int(idx)]
         except Exception:
             idx = np.random.default_rng([int(idx), attempt]).integers(
-                0, len(_WORKER_DATASET)
+                0, len(dataset)
             )
     raise RuntimeError("persistent decode failure")
+
+
+def _fetch_worker(idx: int, epoch: int = 0):
+    # process workers hold a pickled dataset COPY, so the epoch must ride in
+    # with each task — a set_epoch on the parent's dataset never reaches them
+    if hasattr(_WORKER_DATASET, "set_epoch"):
+        _WORKER_DATASET.set_epoch(epoch)
+    return _fetch_with_retry(_WORKER_DATASET, idx)
 
 
 class ShardedSampler:
@@ -135,6 +144,11 @@ class JepaLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self.sampler.set_epoch(epoch)
+        self._epoch = epoch
+        # thread-path workers share this dataset object; process-path workers
+        # get the epoch per task in _assemble
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def close(self) -> None:
         self._pool.shutdown(wait=False, cancel_futures=True)
@@ -146,23 +160,20 @@ class JepaLoader:
             pass
 
     def _fetch(self, idx: int):
-        # retry-resample loop on decode failure
-        # (reference: src/datasets/audiovideo_dataset.py:163-170)
-        for attempt in range(10):
-            try:
-                return self.dataset[int(idx)]
-            except Exception:
-                idx = np.random.default_rng([int(idx), attempt]).integers(
-                    0, len(self.dataset)
-                )
-        raise RuntimeError("persistent decode failure")
+        return _fetch_with_retry(self.dataset, idx)
 
     def _assemble(self, indices: np.ndarray):
-        fetch = _fetch_worker if self.use_processes else self._fetch
         if self.use_processes:
-            samples = list(self._pool.map(fetch, [int(i) for i in indices]))
+            epoch = getattr(self, "_epoch", 0)
+            samples = list(
+                self._pool.map(
+                    _fetch_worker,
+                    [int(i) for i in indices],
+                    [epoch] * len(indices),
+                )
+            )
         else:
-            samples = list(self._pool.map(fetch, indices))
+            samples = list(self._pool.map(self._fetch, indices))
         video = np.stack([s[0] for s in samples])
         audio = None
         if samples[0][1] is not None:

@@ -129,11 +129,17 @@ class ImageDataset:
     def __len__(self):
         return len(self.paths)
 
+    def set_epoch(self, epoch: int) -> None:
+        # fresh train-time crops/flips every epoch
+        self._epoch_salt = int(epoch)
+
     def __getitem__(self, idx: int):
         cfg = self.cfg
         vf = VideoFile(self.paths[idx])
         img = vf.decode_frames(np.array([0]))[0].astype(np.float32)  # [H, W, 3]
-        rng = np.random.default_rng([3, int(self.train), idx])
+        rng = np.random.default_rng(
+            [3, int(self.train), getattr(self, "_epoch_salt", 0), idx]
+        )
         r = cfg.resolution
         if self.train:
             top, left, ch, cw = sample_crop_box(
@@ -275,6 +281,8 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
     total = 0
     for epoch in range(cfg.num_epochs):
         sampler.set_epoch(epoch)
+        if hasattr(train_ds, "set_epoch"):
+            train_ds.set_epoch(epoch)
         meter = AverageMeter()
         for indices in sampler:
             samples = [train_ds[int(i)] for i in indices]

@@ -142,10 +142,16 @@ class VideoClassificationDataset:
     def __len__(self):
         return len(self.paths)
 
+    def set_epoch(self, epoch: int) -> None:
+        # fresh train-time crops/clip positions every epoch
+        self._epoch_salt = int(epoch)
+
     def __getitem__(self, idx: int):
         cfg = self.cfg
         vf = VideoFile(self.paths[idx])
-        rng = np.random.default_rng([cfg.seed, int(self.train), idx])
+        rng = np.random.default_rng(
+            [cfg.seed, int(self.train), getattr(self, "_epoch_salt", 0), idx]
+        )
         segs = sample_clip_indices(
             vf.num_frames, cfg.frames_per_clip, cfg.frame_step,
             cfg.num_segments if not self.train else 1,
@@ -406,6 +412,8 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
     total = 0
     for epoch in range(start_epoch, cfg.num_epochs):
         sampler.set_epoch(epoch)
+        if hasattr(train_ds, "set_epoch"):
+            train_ds.set_epoch(epoch)
         meter = AverageMeter()
         for batch_indices in sampler:
             batched, seg_idx, labels = batchify(train_ds, batch_indices)

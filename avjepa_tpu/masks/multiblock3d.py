@@ -19,8 +19,18 @@ TPU-first divergence from the reference: instead of ragged index tensors we
 return *dense boolean masks* over the static token layout (the truncation
 semantics above are applied first, so the kept sets are identical). Dense masks
 feed straight into the key-masked attention — no gathers, no recompilation.
-The RNG is numpy Philox (seeded, reproducible) rather than torch's global MT;
-block-size seeding follows the same counter discipline so all hosts agree.
+The RNG is numpy Philox (seeded, reproducible) rather than torch's global MT.
+
+Cross-host semantics (deliberate divergence, documented in COVERAGE.md):
+block *locations* — not just sizes — are seeded by (base_seed, counter), so
+every host in a multi-host run draws IDENTICAL masks for a given step. The
+reference varied locations per rank (only the size rode the shared Value),
+but under multi-host SPMD the compact-context path derives its K-bucketed
+gather shapes from the batch-min keep count — per-host locations would let
+hosts land in different K buckets and diverge on the (single, global) jit
+program. Identical masks keep every host's shapes equal by construction;
+the cost is mask-pattern correlation across the global batch (data stays
+per-host distinct).
 """
 
 from __future__ import annotations

@@ -172,8 +172,9 @@ def count_correct(probs: jax.Array, labels: jax.Array) -> jax.Array:
     return jnp.sum((jnp.argmax(probs, -1) == labels).astype(jnp.int32))
 
 
-def put_batch(mesh: Mesh, x: Any) -> jax.Array:
-    """Place a host batch on the mesh, sharded over the batch axes.
+def put_batch(mesh: Mesh, x: Any, sharding: NamedSharding | None = None) -> jax.Array:
+    """Place a host batch on the mesh, sharded over the batch axes (or a
+    caller-supplied sharding, e.g. for [ncfg, B, N] mask stacks).
 
     Single-host: a plain sharded device_put. Multi-host: each process
     contributes its local shard of the global batch
@@ -181,7 +182,7 @@ def put_batch(mesh: Mesh, x: Any) -> jax.Array:
     reduce across hosts — the analog of the reference's AllReduce on eval
     meters (evals/video_classification_frozen/eval.py:364).
     """
-    sh = batch_sharding(mesh)
+    sh = sharding if sharding is not None else batch_sharding(mesh)
     x = np.asarray(x)
     if jax.process_count() > 1:
         return jax.make_array_from_process_local_data(sh, x)

@@ -191,11 +191,26 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
                 data_iter = iter(handles.loader)
                 video, audio, _, masks = next(data_iter)
             enc_m, pred_m = stack_masksets(masks)
+            if jax.process_count() > 1:
+                # contribute the process-local shard of the global batch
+                # (see train/pretrain.py TrainHandles.step)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from avjepa_tpu.parallel.mesh import batch_sharding, put_batch
+
+                mesh = handles.mesh
+                b_sh = batch_sharding(mesh)
+                m_sh = NamedSharding(mesh, P(None, ("data", "fsdp")))
+                video_g = put_batch(mesh, video, b_sh)
+                audio_g = None if audio is None else put_batch(mesh, audio, b_sh)
+                enc_g = put_batch(mesh, enc_m, m_sh)
+                pred_g = put_batch(mesh, pred_m, m_sh)
+            else:
+                video_g = jnp.asarray(video)
+                audio_g = None if audio is None else jnp.asarray(audio)
+                enc_g, pred_g = jnp.asarray(enc_m), jnp.asarray(pred_m)
             probe_state, metrics = step_fn(
                 probe_state, enc_params, pred_params,
-                jnp.asarray(video),
-                None if audio is None else jnp.asarray(audio),
-                jnp.asarray(enc_m), jnp.asarray(pred_m),
+                video_g, audio_g, enc_g, pred_g,
             )
             metrics = jax.device_get(metrics)
             meter.update(float(metrics["loss"]))

@@ -141,12 +141,34 @@ class TrainHandles:
         enc_m, pred_m, idx = out
         if not self.compact:
             idx = None
-        else:
-            idx = tuple(jnp.asarray(i) for i in idx)
         # ship pixels at the model's compute dtype: halves host->device bytes
         # and avoids keeping an f32 copy of the video in HBM (the models cast
         # to bf16 at the patch embed anyway)
         dt = DTYPES[self.cfg.meta.dtype]
+        if jax.process_count() > 1:
+            # multi-host: each process contributes its LOCAL shard of the
+            # global batch (jax.make_array_from_process_local_data) — a bare
+            # jnp.asarray of the local batch would be taken as the full
+            # global array and shrink the effective batch by process_count
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from avjepa_tpu.parallel.mesh import batch_sharding, put_batch
+
+            mesh = self.mesh
+            b_sh = batch_sharding(mesh)
+            m_sh = NamedSharding(mesh, P(None, ("data", "fsdp")))
+            video = put_batch(mesh, np.asarray(video, dt), b_sh)
+            audio = (
+                put_batch(mesh, np.asarray(audio, dt), b_sh)
+                if audio is not None
+                else None
+            )
+            enc_m = put_batch(mesh, np.asarray(enc_m), m_sh)
+            pred_m = put_batch(mesh, np.asarray(pred_m), m_sh)
+            if idx is not None:
+                idx = tuple(put_batch(mesh, np.asarray(i), b_sh) for i in idx)
+            return self.step_fn(state, video, audio, enc_m, pred_m, idx)
+        if idx is not None:
+            idx = tuple(jnp.asarray(i) for i in idx)
         return self.step_fn(
             state,
             jnp.asarray(video, dt),
@@ -293,6 +315,19 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
     restored = None
     if cfg.meta.load_checkpoint:
         restored = ckpt.restore(state)
+        if restored is None and cfg.meta.read_checkpoint:
+            # init-from-named-checkpoint: the run's own folder has no
+            # checkpoint yet, so seed from meta.read_checkpoint (reference:
+            # r_file / load_checkpoint, app/avjepa/train.py:75,184-192)
+            src = cfg.meta.read_checkpoint
+            if os.path.isdir(src):
+                src_mngr = CheckpointManager(src)
+                restored = src_mngr.restore(state)
+                src_mngr.close()
+                if restored is not None:
+                    logger.info(f"initialized from checkpoint {src}")
+            else:
+                logger.warning(f"read_checkpoint {src} not found; fresh init")
     if restored is not None:
         state = jax.device_put(restored, state_shardings(handles.mesh, restored))
         logger.info(f"resumed from step {int(jax.device_get(state.step))}")

@@ -91,6 +91,15 @@ def test_file_dataset(test_video, tmp_path):
     assert label == 3
     assert np.isfinite(video).all() and np.isfinite(mel).all()
 
+    # augmentations/clip windows must be FRESH each epoch (regression: the
+    # rng salt was never updated, freezing every epoch's crops/flips) and
+    # reproducible within one
+    v_same, _, _ = ds[0]
+    np.testing.assert_array_equal(video, v_same)
+    ds.set_epoch(1)
+    v_e1, _, _ = ds[0]
+    assert not np.array_equal(video, v_e1)
+
 
 def test_clip_sampling_edge_pad():
     from avjepa_tpu.data.av_dataset import sample_clip_indices

@@ -99,9 +99,11 @@ def summarize(trace_dir: str, steps: int, top_k: int = 40):
                 continue
             meta = {m.id: m.name for m in plane.event_metadata.values()}
             for line in plane.lines:
-                lname = line.name.lower()
-                # XLA op lines carry the per-op events; skip step/annotation lines
-                if "step" in lname and "xla" not in lname:
+                # ONLY the synchronous compute line: 'Async XLA Ops' carries
+                # DMA-queue copy-start/done events that overlap compute —
+                # counting them double-books the step (the async total alone
+                # can exceed the wall step time)
+                if line.name != "XLA Ops":
                     continue
                 # self time: subtract nested children (scan `while` bodies and
                 # the jit module event enclose their inner ops on the same line)
