@@ -24,7 +24,8 @@ A100_EST_CLIPS_PER_SEC = 36.0
 TARGET_FACTOR = 2.0
 
 
-def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20, attn: str = "flash", mode: str = "device"):
+def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20,
+         attn: str = "flash", mode: str = "device", app: str = "avjepa"):
     import os
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
@@ -42,9 +43,11 @@ def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20, attn: 
 
     cfg = load_config(
         {
-            "app": "avjepa",
+            "app": app,
             "data": {
-                "dataset_type": "audiovideodataset",
+                "dataset_type": (
+                    "audiovideodataset" if app == "avjepa" else "videodataset"
+                ),
                 "batch_size": batch,
                 "num_frames": 16,
                 "tubelet_size": 2,
@@ -77,7 +80,7 @@ def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20, attn: 
         dt = jnp.bfloat16 if cfg.meta.dtype == "bfloat16" else jnp.float32
         return (
             jnp.asarray(video, dt),
-            jnp.asarray(audio, dt),
+            jnp.asarray(audio, dt) if audio is not None else None,
             jnp.asarray(enc_m),
             jnp.asarray(pred_m),
             tuple(jnp.asarray(i) for i in idx) if handles.compact else None,
@@ -138,8 +141,9 @@ def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20, attn: 
     assert np.isfinite(loss)
 
     mode_tag = "" if mode == "device" else f", {mode}"
+    app_tag = "AV" if app == "avjepa" else "video-only"
     result = {
-        "metric": f"clips/sec/chip {model_name} AV pretrain step (b{batch}, bf16, 2 masks{mode_tag})",
+        "metric": f"clips/sec/chip {model_name} {app_tag} pretrain step (b{batch}, bf16, 2 masks{mode_tag})",
         "value": round(clips_per_sec_per_chip, 3),
         "unit": "clips/sec/chip",
         "vs_baseline": round(
@@ -156,4 +160,5 @@ if __name__ == "__main__":
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     attn = sys.argv[4] if len(sys.argv) > 4 else "flash"
     mode = sys.argv[5] if len(sys.argv) > 5 else "device"
-    main(model, batch, steps, attn, mode)
+    app = sys.argv[6] if len(sys.argv) > 6 else "avjepa"
+    main(model, batch, steps, attn, mode, app)
