@@ -312,24 +312,43 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
     )
 
     ckpt = CheckpointManager(os.path.join(folder, f"{tag}-ckpt"))
+
+    def restore_freeing_init(mngr):
+        """Restore directly into the mesh shardings via an ABSTRACT template,
+        deleting the random-init state's device buffers first: keeping both
+        full states alive while Orbax materializes the restored one OOMs
+        ViT-L on a single chip (observed: first post-resume step
+        RESOURCE_EXHAUSTED at 300 steps b24)."""
+        nonlocal state
+        like = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+            state,
+        )
+        for leaf in jax.tree_util.tree_leaves(state):
+            leaf.delete()
+        return mngr.restore(like)
+
     restored = None
     if cfg.meta.load_checkpoint:
-        restored = ckpt.restore(state)
-        if restored is None and cfg.meta.read_checkpoint:
+        if ckpt.latest_step() is not None:
+            restored = restore_freeing_init(ckpt)
+        elif cfg.meta.read_checkpoint:
             # init-from-named-checkpoint: the run's own folder has no
             # checkpoint yet, so seed from meta.read_checkpoint (reference:
             # r_file / load_checkpoint, app/avjepa/train.py:75,184-192)
             src = cfg.meta.read_checkpoint
             if os.path.isdir(src):
                 src_mngr = CheckpointManager(src)
-                restored = src_mngr.restore(state)
+                if src_mngr.latest_step() is not None:
+                    restored = restore_freeing_init(src_mngr)
                 src_mngr.close()
                 if restored is not None:
                     logger.info(f"initialized from checkpoint {src}")
             else:
                 logger.warning(f"read_checkpoint {src} not found; fresh init")
     if restored is not None:
-        state = jax.device_put(restored, state_shardings(handles.mesh, restored))
+        state = restored
+        handles.state = state
         logger.info(f"resumed from step {int(jax.device_get(state.step))}")
 
     start_step = int(jax.device_get(state.step))
