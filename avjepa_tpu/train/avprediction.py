@@ -160,9 +160,19 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
     state = handles.state
     if jepa_ckpt_dir and os.path.isdir(jepa_ckpt_dir):
         ck = CheckpointManager(jepa_ckpt_dir)
-        restored = ck.restore(jax.device_get(state))
-        if restored is not None:
-            state = jax.device_put(restored)
+        if ck.latest_step() is not None:
+            # restore into an abstract template AFTER freeing the init
+            # state's device buffers — keeping both full states alive OOMs
+            # large models on one chip (see train/pretrain.py resume)
+            like = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                               sharding=x.sharding),
+                state,
+            )
+            for leaf in jax.tree_util.tree_leaves(state):
+                leaf.delete()
+            state = ck.restore(like)
+            handles.state = state
             logger.info("restored frozen JEPA weights")
         ck.close()
 
