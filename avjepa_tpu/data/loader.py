@@ -188,14 +188,31 @@ class JepaLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # bounded put that keeps checking the stop flag: a plain q.put
+            # blocks FOREVER when the consumer abandons the iterator with a
+            # full queue (observed with warmup `next(iter(loader))` patterns),
+            # pinning worker-pool capacity on stale batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for indices in self.sampler:
                     if stop.is_set():
                         return
-                    q.put(self._assemble(indices))
+                    if not put_or_stop(self._assemble(indices)):
+                        return
             finally:
-                q.put(None)
+                try:
+                    q.put_nowait(None)
+                except queue.Full:
+                    pass  # consumer gone; nothing is waiting for the sentinel
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

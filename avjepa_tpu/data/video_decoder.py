@@ -118,6 +118,12 @@ class VideoFile:
         """Sorted frame indices -> [N, H, W, 3] uint8."""
         lib = _load_lib()
         indices = np.ascontiguousarray(np.asarray(indices, np.int64))
+        # validate HERE so a buggy sampler raises a Python error instead of
+        # tripping the native library's bounds guard (rc -22)
+        if len(indices) and (indices[0] < 0 or np.any(np.diff(indices) < 0)):
+            raise ValueError(
+                f"frame indices must be sorted and non-negative: {indices[:8]}..."
+            )
         n = len(indices)
         out = np.empty((n, self.height, self.width, 3), np.uint8)
         rc = lib.avdec_decode_frames(

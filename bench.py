@@ -24,6 +24,42 @@ A100_EST_CLIPS_PER_SEC = 36.0
 TARGET_FACTOR = 2.0
 
 
+def north_star_config(model_name: str = "vit_large", batch: int = 24,
+                      attn: str = "flash", app: str = "avjepa",
+                      tag: str = "bench") -> dict:
+    """The benchmark/profile config dict — ONE definition (tools/
+    profile_step.py imports this; a drifted copy would silently profile a
+    different workload than the one benchmarked)."""
+    return {
+        "app": app,
+        "data": {
+            "dataset_type": (
+                "audiovideodataset" if app == "avjepa" else "videodataset"
+            ),
+            "batch_size": batch,
+            "num_frames": 16,
+            "tubelet_size": 2,
+            "crop_size": 224,
+            "patch_size": 16,
+            "num_workers": 4,
+            "source": "synthetic",
+        },
+        "mask": [
+            {"aspect_ratio": [0.75, 1.5], "num_blocks": 8,
+             "spatial_scale": [0.15, 0.15], "temporal_scale": [1.0, 1.0]},
+            {"aspect_ratio": [0.75, 1.5], "num_blocks": 2,
+             "spatial_scale": [0.7, 0.7], "temporal_scale": [1.0, 1.0]},
+        ],
+        "meta": {"seed": 0, "dtype": "bfloat16"},
+        "model": {"model_name": model_name, "pred_depth": 12,
+                  "pred_embed_dim": 384, "uniform_power": True,
+                  "use_mask_tokens": True, "zero_init_mask_tokens": True},
+        "optimization": {"ipe": 300, "epochs": 300, "warmup": 40},
+        "logging": {"folder": "/tmp/avjepa_bench", "write_tag": tag},
+        "tpu": {"remat": True, "attn_impl": attn},
+    }
+
+
 def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20,
          attn: str = "flash", mode: str = "device", app: str = "avjepa"):
     import os
@@ -41,36 +77,7 @@ def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20,
     from avjepa_tpu.train import pretrain
     from avjepa_tpu.train.step import stack_masksets
 
-    cfg = load_config(
-        {
-            "app": app,
-            "data": {
-                "dataset_type": (
-                    "audiovideodataset" if app == "avjepa" else "videodataset"
-                ),
-                "batch_size": batch,
-                "num_frames": 16,
-                "tubelet_size": 2,
-                "crop_size": 224,
-                "patch_size": 16,
-                "num_workers": 4,
-                "source": "synthetic",
-            },
-            "mask": [
-                {"aspect_ratio": [0.75, 1.5], "num_blocks": 8,
-                 "spatial_scale": [0.15, 0.15], "temporal_scale": [1.0, 1.0]},
-                {"aspect_ratio": [0.75, 1.5], "num_blocks": 2,
-                 "spatial_scale": [0.7, 0.7], "temporal_scale": [1.0, 1.0]},
-            ],
-            "meta": {"seed": 0, "dtype": "bfloat16"},
-            "model": {"model_name": model_name, "pred_depth": 12,
-                      "pred_embed_dim": 384, "uniform_power": True,
-                      "use_mask_tokens": True, "zero_init_mask_tokens": True},
-            "optimization": {"ipe": 300, "epochs": 300, "warmup": 40},
-            "logging": {"folder": "/tmp/avjepa_bench", "write_tag": "bench"},
-            "tpu": {"remat": True, "attn_impl": attn},
-        }
-    )
+    cfg = load_config(north_star_config(model_name, batch, attn, app))
 
     handles = pretrain.setup(cfg)
 
@@ -90,10 +97,12 @@ def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20,
     # NOTE: on the tunneled device backend used here, jax.block_until_ready
     # does NOT actually block; a scalar device_get is the only reliable
     # completion barrier (and transfers 4 bytes).
+    fed_batch = None  # actual clips consumed per step (global batch)
     if mode == "device":
         # pure device step: ONE pre-transferred batch + mask set, repeated
         # (host->device moves through this environment's tunnel are slow)
         video, audio, enc_m, pred_m, idx = to_device(next(iter(handles.loader)))
+        fed_batch = video.shape[0]
         state, metrics = handles.step_fn(state, video, audio, enc_m, pred_m, idx)
         float(jax.device_get(metrics["loss"]))
         t0 = time.perf_counter()
@@ -107,6 +116,7 @@ def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20,
         # K-bucket churn (and any recompiles it causes) lands in the timing
         it = iter(handles.loader)
         staged = [to_device(next(it)) for _ in range(8)]
+        fed_batch = staged[0][0].shape[0]
         for b in staged:  # warm every bucket combination
             state, metrics = handles.step_fn(state, *b)
         float(jax.device_get(metrics["loss"]))
@@ -120,7 +130,9 @@ def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20,
         # environment's ~100 MB/s tunnel the transfer dominates; on a real
         # v5e host the PCIe/DMA path makes this approach the device number.
         it = iter(handles.loader)
-        state, metrics = handles.step_fn(state, *to_device(next(it)))
+        first = to_device(next(it))
+        fed_batch = first[0].shape[0]
+        state, metrics = handles.step_fn(state, *first)
         float(jax.device_get(metrics["loss"]))
         t0 = time.perf_counter()
         for _ in range(steps):
@@ -136,7 +148,11 @@ def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20,
         raise SystemExit(f"unknown bench mode {mode!r}")
 
     n_chips = jax.device_count()
-    clips_per_sec_per_chip = batch * steps / dt / n_chips
+    # fed_batch is the batch THIS PROCESS feeds each step (the global batch
+    # is per-chip batch_size x data*fsdp chips, split across hosts);
+    # dividing the per-chip `batch` by device count would understate
+    # multi-chip throughput
+    clips_per_sec_per_chip = fed_batch * jax.process_count() * steps / dt / n_chips
     loss = float(jax.device_get(metrics["loss"]))
     assert np.isfinite(loss)
 

@@ -89,11 +89,18 @@ int avdec_probe(const char* path, double* fps, long* num_frames, int* width,
 int avdec_decode_frames(const char* path, const long* indices, int n,
                         unsigned char* out, int out_h, int out_w) {
   if (n <= 0) return 0;
+  // indices must be ascending and non-negative: the catch-up copy below
+  // reads slot want-1, so a negative/unsorted first index would read out of
+  // bounds in NATIVE memory rather than raising a Python error
+  if (indices[0] < 0) return -22;
+  for (int i = 1; i < n; ++i)
+    if (indices[i] < indices[i - 1]) return -22;
   VideoCtx v;
   int rc = v.open(path, AVMEDIA_TYPE_VIDEO);
   if (rc != 0) return rc;
 
   SwsContext* sws = nullptr;
+  int sws_w = 0, sws_h = 0, sws_fmt = -1;
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
   const size_t frame_bytes = (size_t)out_h * out_w * 3;
@@ -140,12 +147,22 @@ int avdec_decode_frames(const char* path, const long* indices, int n,
       bool wanted = false;
       while (want < n && indices[want] == frame_counter) {
         wanted = true;
+        // rebuild the scaler if the stream legally changes geometry/format
+        // mid-stream (same pattern as avdec_crop_resize_rgb)
+        if (sws && (frame->width != sws_w || frame->height != sws_h ||
+                    frame->format != sws_fmt)) {
+          sws_freeContext(sws);
+          sws = nullptr;
+        }
         if (!sws) {
           sws = sws_getContext(frame->width, frame->height,
                                (AVPixelFormat)frame->format, out_w, out_h,
                                AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
                                nullptr, nullptr);
           if (!sws) { err = -21; goto done; }
+          sws_w = frame->width;
+          sws_h = frame->height;
+          sws_fmt = frame->format;
         }
         uint8_t* dst[1] = {out + (size_t)want * frame_bytes};
         int dst_stride[1] = {out_w * 3};
@@ -202,9 +219,29 @@ long avdec_decode_audio(const char* path, float* out, long max_samples,
   AVFrame* frame = av_frame_alloc();
   long written = 0;
   bool flushing = false;
+  bool full = false;
   std::vector<float> tmp;
 
-  while (true) {
+  auto consume = [&](AVFrame* f) {
+    int out_count = f->nb_samples;
+    tmp.resize(out_count);
+    uint8_t* outbuf[1] = {(uint8_t*)tmp.data()};
+    int conv = swr_convert(swr, outbuf, out_count,
+                           (const uint8_t**)f->extended_data, f->nb_samples);
+    if (conv > 0) {
+      if (out) {
+        long take = conv;
+        if (written + take > max_samples) take = max_samples - written;
+        if (take > 0)
+          memcpy(out + written, tmp.data(), take * sizeof(float));
+      }
+      written += conv;
+    }
+    av_frame_unref(f);
+    if (out && written >= max_samples && max_samples > 0) full = true;
+  };
+
+  while (!full) {
     if (!flushing) {
       int r = av_read_frame(a.fmt, pkt);
       if (r < 0) {
@@ -215,34 +252,24 @@ long avdec_decode_audio(const char* path, float* out, long max_samples,
           av_packet_unref(pkt);
           continue;
         }
-        avcodec_send_packet(a.dec, pkt);
+        // a full decoder rejects the packet with EAGAIN (multi-frame-per-
+        // packet codecs); drain pending frames and RETRY rather than drop
+        while (avcodec_send_packet(a.dec, pkt) == AVERROR(EAGAIN) && !full) {
+          int rr = avcodec_receive_frame(a.dec, frame);
+          if (rr < 0) break;  // shouldn't happen; avoid spinning
+          consume(frame);
+        }
         av_packet_unref(pkt);
       }
     }
-    int r = avcodec_receive_frame(a.dec, frame);
-    if (r == AVERROR(EAGAIN)) {
-      if (flushing) break;
-      continue;
+    // drain everything available; EAGAIN -> read more input, EOF/error -> done
+    while (!full) {
+      int r = avcodec_receive_frame(a.dec, frame);
+      if (r == AVERROR(EAGAIN)) break;
+      if (r < 0) { full = true; break; }
+      consume(frame);
     }
-    if (r == AVERROR_EOF || r < 0) break;
-
-    int out_count = frame->nb_samples;
-    tmp.resize(out_count);
-    uint8_t* outbuf[1] = {(uint8_t*)tmp.data()};
-    int conv = swr_convert(swr, outbuf, out_count,
-                           (const uint8_t**)frame->extended_data,
-                           frame->nb_samples);
-    if (conv > 0) {
-      if (out) {
-        long take = conv;
-        if (written + take > max_samples) take = max_samples - written;
-        if (take > 0)
-          memcpy(out + written, tmp.data(), take * sizeof(float));
-      }
-      written += conv;
-    }
-    av_frame_unref(frame);
-    if (out && written >= max_samples && max_samples > 0) break;
+    if (flushing && !full) break;  // EAGAIN after flush: nothing more comes
   }
 
   swr_free(&swr);
@@ -376,6 +403,7 @@ extern "C" int avdec_write_test_video(const char* path, int n_frames, int w,
       }
       avcodec_send_frame(aenc, nullptr);
       while (avcodec_receive_packet(aenc, pkt) == 0) {
+        av_packet_rescale_ts(pkt, aenc->time_base, ast->time_base);
         pkt->stream_index = ast->index;
         av_interleaved_write_frame(fmt, pkt);
       }

@@ -54,8 +54,11 @@ def main(n_clips: int = 32, workers: int = 8, batch: int = 8):
     sampler = ShardedSampler(len(ds), batch, num_shards=1, shard_index=0)
     loader = JepaLoader(ds, sampler, mask_collator=coll, num_workers=workers, use_processes=True)
 
-    # warmup one batch (thread pool spin-up)
-    next(iter(loader))
+    # warmup one batch (worker-pool spin-up), then CLOSE the iterator so its
+    # producer thread stops pre-decoding into the timed window below
+    warm = iter(loader)
+    next(warm)
+    warm.close()
 
     t0 = time.perf_counter()
     clips = 0

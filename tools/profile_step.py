@@ -33,28 +33,9 @@ def capture(model="vit_large", batch=24, steps=3, trace_dir="/tmp/avjepa_trace")
     from avjepa_tpu.config import load_config
     from avjepa_tpu.train import pretrain
     from avjepa_tpu.train.step import stack_masksets
+    from bench import north_star_config  # the ONE benchmark config definition
 
-    cfg = load_config(
-        {
-            "app": "avjepa",
-            "data": {"dataset_type": "audiovideodataset", "batch_size": batch,
-                     "num_frames": 16, "tubelet_size": 2, "crop_size": 224,
-                     "patch_size": 16, "num_workers": 4, "source": "synthetic"},
-            "mask": [
-                {"aspect_ratio": [0.75, 1.5], "num_blocks": 8,
-                 "spatial_scale": [0.15, 0.15], "temporal_scale": [1.0, 1.0]},
-                {"aspect_ratio": [0.75, 1.5], "num_blocks": 2,
-                 "spatial_scale": [0.7, 0.7], "temporal_scale": [1.0, 1.0]},
-            ],
-            "meta": {"seed": 0, "dtype": "bfloat16"},
-            "model": {"model_name": model, "pred_depth": 12,
-                      "pred_embed_dim": 384, "uniform_power": True,
-                      "use_mask_tokens": True, "zero_init_mask_tokens": True},
-            "optimization": {"ipe": 300, "epochs": 300, "warmup": 40},
-            "logging": {"folder": "/tmp/avjepa_bench", "write_tag": "profile"},
-            "tpu": {"remat": True, "attn_impl": "flash"},
-        }
-    )
+    cfg = load_config(north_star_config(model, batch, tag="profile"))
     handles = pretrain.setup(cfg)
     video, audio, _, masks = next(iter(handles.loader))
     enc_m, pred_m, idx = stack_masksets(masks, with_idx=True)
