@@ -39,6 +39,9 @@ class DataConfig:
     # fast-forward the data stream by N batches at startup
     # (reference: app/avjepa/train.py:356-366)
     skip_batches: int = 0
+    # the reference reads mask_type from the data section
+    # (app/avjepa/train.py:108); takes precedence over tpu.mask_type
+    mask_type: Optional[str] = None
     # TPU build extension: 'synthetic' generates deterministic fake AV clips
     # (for tests/benches without media files).
     source: str = "files"

@@ -325,11 +325,14 @@ class DefaultCollator:
 def make_mask_collator(
     mask_type: str, cfgs_mask, layout: TokenLayout, base_seed: int = 0
 ):
-    """Dispatch matching the reference's mask_type config key."""
+    """Dispatch matching the reference's mask_type config key (the reference
+    treats anything other than 'multiblock3d' as the random tube collator,
+    app/avjepa/train.py:226-241; we accept its aliases but keep an explicit
+    error for typos)."""
     if mask_type in ("multiblock3d", "avmultiblock3d"):
         cls = AVMaskCollator if layout.audio_enabled else MaskCollator
         return cls(cfgs_mask, layout, base_seed)
-    if mask_type == "random":
+    if mask_type in ("random", "random_tube", "tube"):
         return RandomTubeCollator(cfgs_mask, layout, base_seed)
     if mask_type == "default":
         return DefaultCollator()

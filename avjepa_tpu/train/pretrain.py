@@ -242,7 +242,8 @@ def setup(cfg: ExperimentConfig, mesh=None) -> TrainHandles:
 
     dataset = build_dataset(cfg, layout)
     collator = make_mask_collator(
-        cfg.tpu.mask_type, cfg.mask, layout, base_seed=cfg.meta.seed
+        cfg.data.mask_type or cfg.tpu.mask_type, cfg.mask, layout,
+        base_seed=cfg.meta.seed,
     )
     weights = None
     if cfg.data.datasets_weights is not None and hasattr(dataset, "sample_weights"):
