@@ -42,6 +42,9 @@ class DataConfig:
     # the reference reads mask_type from the data section
     # (app/avjepa/train.py:108); takes precedence over tpu.mask_type
     mask_type: Optional[str] = None
+    # start the /proc resource sampler (reference carries the knob but its
+    # monitor is dormant; ours works — utils/monitoring.py)
+    log_resource_utilization: bool = False
     # TPU build extension: 'synthetic' generates deterministic fake AV clips
     # (for tests/benches without media files).
     source: str = "files"
@@ -96,6 +99,9 @@ class OptimizationConfig:
     lr: float = 6.25e-4
     final_lr: float = 1e-6
     ema: Sequence[float] = (0.998, 1.0)
+    # AdamW moments/epsilon (reference: app/avjepa/train.py cfgs_opt)
+    betas: Sequence[float] = (0.9, 0.999)
+    eps: float = 1e-8
 
 
 @dataclasses.dataclass
@@ -202,15 +208,25 @@ def load_config(source: str | dict) -> ExperimentConfig:
 
     opt = dict(d.get("optimization") or {})
 
+    # section aliases: the reference reads these keys from meta:
+    # (app/avjepa/train.py:75-84); our schema files them under data/logging
+    meta_d = dict(d.get("meta") or {})
+    data_d = dict(d.get("data") or {})
+    logging_d = dict(d.get("logging") or {})
+    if "skip_batches" in meta_d and "skip_batches" not in data_d:
+        data_d["skip_batches"] = meta_d["skip_batches"]
+    if "save_every_freq" in meta_d and "save_every_freq" not in logging_d:
+        logging_d["save_every_freq"] = meta_d["save_every_freq"]
+
     cfg = ExperimentConfig(
         app=d.get("app", "avjepa"),
-        data=_build(DataConfig, d.get("data")),
+        data=_build(DataConfig, data_d),
         data_aug=_build(DataAugConfig, d.get("data_aug")),
         loss=_build(LossConfig, d.get("loss")),
         meta=_build(MetaConfig, d.get("meta")),
         model=_build(ModelConfig, d.get("model")),
         optimization=_build(OptimizationConfig, opt),
-        logging=_build(LoggingConfig, d.get("logging")),
+        logging=_build(LoggingConfig, logging_d),
         tpu=_build(TpuConfig, d.get("tpu")),
         mask=list(d.get("mask") or []),
         raw=d,

@@ -214,6 +214,8 @@ def setup(cfg: ExperimentConfig, mesh=None) -> TrainHandles:
         clip_grad=cfg.optimization.clip_grad,
         warmup_epochs=int(cfg.optimization.warmup),
         ipe=cfg.optimization.ipe,
+        betas=tuple(cfg.optimization.betas),
+        eps=cfg.optimization.eps,
     )
     raw_step = make_train_step(encoder, predictor, sched, step_cfg)
 
@@ -290,6 +292,20 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
     handles = setup(cfg)
     state = handles.state
     layout = cfg.layout()
+
+    monitor = None
+    if cfg.data.log_resource_utilization:
+        # host-resource CSV next to the metrics (reference carries this knob
+        # but its monitor was dormant; ours samples /proc)
+        from avjepa_tpu.utils.monitoring import ResourceMonitor
+
+        os.makedirs(cfg.logging.folder, exist_ok=True)
+        monitor = ResourceMonitor(
+            log_path=os.path.join(
+                cfg.logging.folder,
+                f"{cfg.logging.write_tag}_resources_r{jax.process_index()}.csv",
+            )
+        ).start()
 
     folder = cfg.logging.folder
     os.makedirs(folder, exist_ok=True)
@@ -449,6 +465,8 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
         if max_steps is not None and total >= max_steps:
             break
     ckpt.close()
+    if monitor is not None:
+        monitor.stop()
     return summary
 
 

@@ -39,6 +39,9 @@ class StepConfig:
     clip_grad: float | None = 10.0
     warmup_epochs: int = 40  # grad clip enabled only after this many epochs
     ipe: int = 300
+    # AdamW moments/epsilon (reference: cfgs_opt betas/eps, train.py:141-142)
+    betas: tuple = (0.9, 0.999)
+    eps: float = 1e-8
 
 
 def feature_layer_norm(h: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -189,11 +192,14 @@ def make_train_step(
             enc_g = clip(enc_g, enc_norm)
             pred_g = clip(pred_g, pred_norm)
 
+        b1, b2 = step_cfg.betas
         enc_params, enc_opt = adamw_update(
-            enc_g, state.enc_opt, state.enc_params, lr, wd, wd_mask(state.enc_params)
+            enc_g, state.enc_opt, state.enc_params, lr, wd,
+            wd_mask(state.enc_params), b1=b1, b2=b2, eps=step_cfg.eps,
         )
         pred_params, pred_opt = adamw_update(
-            pred_g, state.pred_opt, state.pred_params, lr, wd, wd_mask(state.pred_params)
+            pred_g, state.pred_opt, state.pred_params, lr, wd,
+            wd_mask(state.pred_params), b1=b1, b2=b2, eps=step_cfg.eps,
         )
 
         # EMA target update fused into the step (reference: train.py:533-537)
