@@ -1,6 +1,6 @@
 # avjepa_tpu build orchestration
 
-.PHONY: all native test bench clean
+.PHONY: all native test bench chain clean
 
 all: native
 
@@ -12,6 +12,14 @@ test: native
 
 bench: native
 	python bench.py
+
+# full real-media pipeline through the real CLIs (pretrain -> checkpoint
+# roundtrip -> frozen eval -> avprediction probe -> example PNG); flagship
+# geometry — takes a real TPU chip. See tools/run_chain.py for the tiny
+# CI-scale variant (its defaults).
+chain: native
+	python tools/run_chain.py --model vit_large --crop 224 --frames 16 \
+		--batch 24 --clips 100 --clip-size 256 --ipe 50 --epochs 2 --workers 4
 
 clean:
 	$(MAKE) -C native clean

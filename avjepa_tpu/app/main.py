@@ -36,7 +36,13 @@ def launch(fname: str, dump_dir: str | None = None) -> None:
         yaml.safe_dump(params, f)
 
     logger.info(f"launching app '{cfg.app}' on {jax.device_count()} devices")
-    app_main(cfg.app, params)
+    # preemption restart: the supervisor (or operator) sets this env and the
+    # run resumes from the SIGTERM checkpoint (see COVERAGE.md runbook;
+    # reference requeues via submitit, app/main_distributed.py:65-67)
+    resume_preempt = bool(int(os.environ.get("AVJEPA_RESUME_PREEMPT", "0")))
+    if resume_preempt:
+        logger.info("AVJEPA_RESUME_PREEMPT=1: resuming from latest checkpoint")
+    app_main(cfg.app, params, resume_preempt=resume_preempt)
 
 
 def parse_args(argv=None):

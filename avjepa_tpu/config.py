@@ -30,6 +30,11 @@ class DataConfig:
     crop_size: int = 224
     patch_size: int = 16
     num_workers: int = 4
+    # INERT (accepted for reference-config compatibility, see COVERAGE.md):
+    # pin_mem is torch DataLoader pinned host staging — JAX owns its own
+    # host->device transfer path; decode_one_clip is dead in the reference
+    # itself (data_manager.py:40 accepts it and forwards it to no dataset).
+    # load_config logs a notice when either is set to a non-default value.
     pin_mem: bool = True
     decode_one_clip: bool = True
     filter_short_videos: bool = False
@@ -72,6 +77,9 @@ class MetaConfig:
     dtype: str = "bfloat16"
     load_checkpoint: bool = False
     read_checkpoint: Optional[str] = None
+    # INERT: eval_freq appears in every reference pretrain YAML but no
+    # reference code path reads it (vestigial from I-JEPA); kept so reference
+    # configs load unchanged. See COVERAGE.md.
     eval_freq: int = 100
     use_sdpa: bool = True  # accepted for config parity; attention impl is tpu.attn_impl
 
@@ -127,6 +135,11 @@ class TpuConfig:
     # (bucketed to 128); identical numerics, large speedup. Disable to force
     # the fully-dense single-compilation path.
     compact_context: bool = True
+    # compacted predictor: run the predictor blocks only on enc∪pred tokens
+    # (bucketed to 128, ~23% fewer at the north-star masks -> ~41% fewer
+    # attention FLOPs); identical numerics (excluded tokens were key-masked
+    # out of attention anyway).
+    compact_predictor: bool = True
     # GELU flavor: 'tanh' (TPU-fast approximation, the ViT/PaLM standard) or
     # 'exact' (erf, bit-matches torch nn.GELU default — XLA expands erf into a
     # long branchy f32 polynomial, measured ~100 ms/step on the ViT-L step)
@@ -232,6 +245,22 @@ def load_config(source: str | dict) -> ExperimentConfig:
         raw=d,
     )
     cfg.validate()
+
+    # surface intentionally-inert keys loudly instead of silently accepting a
+    # non-default value the run will never honor (rationale in COVERAGE.md:
+    # all three are dead or torch-only in the reference itself)
+    import logging as _logging
+
+    _log = _logging.getLogger("avjepa_tpu")
+    if not cfg.data.pin_mem:
+        _log.info(
+            "config: data.pin_mem is inert on TPU (torch pinned-memory knob)"
+        )
+    if not cfg.data.decode_one_clip:
+        _log.info(
+            "config: data.decode_one_clip is inert (dead in the reference "
+            "data_manager too); exactly the sampled clips are decoded"
+        )
     return cfg
 
 

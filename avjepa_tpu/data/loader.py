@@ -119,10 +119,18 @@ class JepaLoader:
         num_workers: int = 4,
         prefetch: int = 2,
         use_processes: bool = False,
+        collate=None,
     ):
+        """``collate``: optional ``fn(samples) -> batch`` overriding the
+        default AV assembly — lets the evals reuse this loader's worker pool
+        + bounded prefetch + retry-resample for their richer sample shapes
+        (views/segments) instead of serial ``ds[i]`` loops (reference eval
+        loaders are 8-12-worker torch DataLoaders,
+        evals/video_classification_frozen/eval.py:447-493)."""
         self.dataset = dataset
         self.sampler = sampler
         self.mask_collator = mask_collator
+        self.collate = collate
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.use_processes = use_processes
@@ -174,6 +182,8 @@ class JepaLoader:
             )
         else:
             samples = list(self._pool.map(self._fetch, indices))
+        if self.collate is not None:
+            return self.collate(samples)
         video = np.stack([s[0] for s in samples])
         audio = None
         if samples[0][1] is not None:
@@ -209,10 +219,11 @@ class JepaLoader:
                     if not put_or_stop(self._assemble(indices)):
                         return
             finally:
-                try:
-                    q.put_nowait(None)
-                except queue.Full:
-                    pass  # consumer gone; nothing is waiting for the sentinel
+                # deliver the end-of-epoch sentinel through the stop-aware
+                # blocking helper: the queue is typically full here while the
+                # consumer is still draining, and a dropped sentinel would
+                # leave the consumer blocked in q.get() forever
+                put_or_stop(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

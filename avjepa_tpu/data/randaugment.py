@@ -182,3 +182,76 @@ def rand_augment_video(
         level = float(np.clip(rng.normal(magnitude, mag_std), 0, _MAX_LEVEL))
         out = fn(np.clip(out, 0, 255), arg_fn(level, rng))
     return np.clip(out, 0, 255)
+
+
+# --- AutoAugment 'original' ImageNet policy -------------------------------
+#
+# The image-classification eval trains its probe with timm's
+# auto_augment='original' (reference: evals/image_classification_frozen/
+# eval.py:393-403) — the 25-sub-policy AutoAugment ImageNet policy from
+# Cubuk et al. (2019), NOT RandAugment. Each sub-policy is two
+# (op, prob, magnitude) stages; one sub-policy is drawn per image and each
+# stage fires independently with its probability. Magnitudes are on the same
+# 0..10 scale timm uses (10 == _MAX_LEVEL severity), translated through the
+# shared OPS level->arg mappings above.
+
+_OPS_BY_NAME = {name: (fn, arg_fn) for name, fn, arg_fn in OPS}
+
+AUTO_AUGMENT_ORIGINAL_POLICY = [
+    [("PosterizeOriginal", 0.4, 8), ("Rotate", 0.6, 9)],
+    [("Solarize", 0.6, 5), ("AutoContrast", 0.6, 5)],
+    [("Equalize", 0.8, 8), ("Equalize", 0.6, 3)],
+    [("PosterizeOriginal", 0.6, 7), ("PosterizeOriginal", 0.6, 6)],
+    [("Equalize", 0.4, 7), ("Solarize", 0.2, 4)],
+    [("Equalize", 0.4, 4), ("Rotate", 0.8, 8)],
+    [("Solarize", 0.6, 3), ("Equalize", 0.6, 7)],
+    [("PosterizeOriginal", 0.8, 5), ("Equalize", 1.0, 2)],
+    [("Rotate", 0.2, 3), ("Solarize", 0.6, 8)],
+    [("Equalize", 0.6, 8), ("PosterizeOriginal", 0.4, 6)],
+    [("Rotate", 0.8, 8), ("Color", 0.4, 0)],
+    [("Rotate", 0.4, 9), ("Equalize", 0.6, 2)],
+    [("Equalize", 0.0, 7), ("Equalize", 0.8, 8)],
+    [("Invert", 0.6, 4), ("Equalize", 1.0, 8)],
+    [("Color", 0.6, 4), ("Contrast", 1.0, 8)],
+    [("Rotate", 0.8, 8), ("Color", 1.0, 2)],
+    [("Color", 0.8, 8), ("Solarize", 0.8, 7)],
+    [("Sharpness", 0.4, 7), ("Invert", 0.6, 8)],
+    [("ShearX", 0.6, 5), ("Equalize", 1.0, 9)],
+    [("Color", 0.4, 0), ("Equalize", 0.6, 3)],
+    [("Equalize", 0.4, 7), ("Solarize", 0.2, 4)],
+    [("Solarize", 0.6, 5), ("AutoContrast", 0.6, 5)],
+    [("Invert", 0.6, 4), ("Equalize", 1.0, 8)],
+    [("Color", 0.6, 4), ("Contrast", 1.0, 8)],
+    [("Equalize", 0.8, 8), ("Equalize", 0.6, 3)],
+]
+
+
+def _posterize_original(clip, level_0_10):
+    # AutoAugment's posterize range is 4..8 kept bits (timm posterize_original),
+    # unlike RandAugment's harsher 4..8-minus mapping in OPS
+    bits = int(4 + level_0_10 / 10.0 * 4)
+    return posterize(clip, bits)
+
+
+def auto_augment_original(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Apply one randomly drawn AutoAugment-'original' sub-policy.
+
+    img: [H, W, 3] (or [T, H, W, 3]) float32 in 0..255. Returns same shape,
+    clipped to 0..255.
+    """
+    squeeze = img.ndim == 3
+    clip = img[None] if squeeze else img
+    clip = np.clip(clip.astype(np.float32), 0, 255)
+    sub = AUTO_AUGMENT_ORIGINAL_POLICY[
+        int(rng.integers(0, len(AUTO_AUGMENT_ORIGINAL_POLICY)))
+    ]
+    for name, prob, magnitude in sub:
+        if rng.random() > prob:
+            continue
+        if name == "PosterizeOriginal":
+            clip = _posterize_original(clip, magnitude)
+            continue
+        fn, arg_fn = _OPS_BY_NAME[name]
+        level = magnitude / 10.0 * _MAX_LEVEL
+        clip = np.clip(fn(np.clip(clip, 0, 255), arg_fn(level, rng)), 0, 255)
+    return clip[0] if squeeze else clip

@@ -154,20 +154,27 @@ class Compose:
     """Chain transforms; random ones receive the rng (reference :803-818)."""
 
     def __init__(self, transforms: Sequence):
-        self.transforms = list(transforms)
-
-    def __call__(self, clip: np.ndarray, rng: Optional[np.random.Generator] = None):
         import inspect
 
-        rng = rng or np.random.default_rng()
+        self.transforms = list(transforms)
+        # decide once per transform (not per sample — this runs in the decode
+        # workers' hot path) whether it accepts the rng; decided by signature,
+        # not by catching TypeError (which would swallow genuine TypeErrors
+        # raised inside the transform and re-run it). The second parameter
+        # must actually be named 'rng' so arbitrary two-arg callables don't
+        # silently receive a Generator.
+        self._takes_rng = []
         for t in self.transforms:
-            # pass the rng only to transforms that accept it — decided by
-            # signature, not by catching TypeError (which would swallow
-            # genuine TypeErrors raised inside the transform and re-run it)
             try:
-                takes_rng = len(inspect.signature(t).parameters) >= 2
+                params = list(inspect.signature(t).parameters)
+                takes = len(params) >= 2 and params[1] == "rng"
             except (TypeError, ValueError):
-                takes_rng = False
+                takes = False
+            self._takes_rng.append(takes)
+
+    def __call__(self, clip: np.ndarray, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng()
+        for t, takes_rng in zip(self.transforms, self._takes_rng):
             clip = t(clip, rng) if takes_rng else t(clip)
         return clip
 

@@ -23,11 +23,13 @@ import jax
 import jax.numpy as jnp
 
 from avjepa_tpu.data.av_dataset import load_index
-from avjepa_tpu.data.loader import ShardedSampler
+from avjepa_tpu.data.loader import JepaLoader, ShardedSampler
+from avjepa_tpu.data.randaugment import auto_augment_original
 from avjepa_tpu.data.transforms import (
     IMAGENET_MEAN,
     IMAGENET_STD,
     _bilinear_resize,
+    random_erasing,
     sample_crop_box,
 )
 from avjepa_tpu.data.video_decoder import VideoFile
@@ -54,6 +56,7 @@ class ImageEvalConfig:
     num_classes: int = 1000
     resolution: int = 224
     batch_size: int = 16
+    num_workers: int = 8
     num_epochs: int = 20
     lr: float = 1e-3
     start_lr: float = 1e-3
@@ -67,6 +70,7 @@ class ImageEvalConfig:
     tubelet_size: int = 2
     uniform_power: bool = True
     checkpoint: str = ""
+    allow_missing_checkpoint: bool = False
     seed: int = 0
     source: str = "files"
     # must match the GELU the checkpoint was pretrained with (tpu.gelu)
@@ -84,6 +88,7 @@ def config_from_yaml(d: dict) -> ImageEvalConfig:
         num_classes=data.get("num_classes", 1000),
         resolution=opt.get("resolution", 224),
         batch_size=opt.get("batch_size", 16),
+        num_workers=d.get("data", {}).get("num_workers", 8),
         num_epochs=opt.get("num_epochs", 20),
         lr=opt.get("lr", 1e-3),
         start_lr=opt.get("start_lr", 1e-3),
@@ -97,6 +102,7 @@ def config_from_yaml(d: dict) -> ImageEvalConfig:
         tubelet_size=pre.get("tubelet_size", 2),
         uniform_power=pre.get("uniform_power", True),
         checkpoint=os.path.join(pre.get("folder", ""), pre.get("checkpoint", "")),
+        allow_missing_checkpoint=pre.get("allow_missing_checkpoint", False),
         source=data.get("source", "files"),
         gelu=d.get("tpu", {}).get("gelu", pre.get("gelu", "tanh")),
     )
@@ -142,20 +148,33 @@ class ImageDataset:
         )
         r = cfg.resolution
         if self.train:
+            # timm make_transforms pipeline the reference trains with
+            # (eval.py:393-403): RandomResizedCrop -> hflip ->
+            # auto_augment='original' -> Normalize -> RandomErasing
+            # (re_prob=0.25, pixel mode, after normalization so the fill is
+            # standard-normal, matching timm)
             top, left, ch, cw = sample_crop_box(
                 img.shape[0], img.shape[1], (0.08, 1.0), (0.75, 4 / 3), rng
             )
             img = _bilinear_resize(img[top : top + ch, left : left + cw], r, r)
             if rng.random() < 0.5:
                 img = img[:, ::-1]
+            img = auto_augment_original(img, rng)
+            img = (img / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+            img = random_erasing(
+                np.ascontiguousarray(img, np.float32)[None], rng, prob=0.25
+            )[0]
         else:
+            # short side scales WITH the eval resolution — resolution*256/224,
+            # not a fixed 256 (reference eval.py:406); a fixed 256 underflows
+            # the center crop at resolution 384
             h, w = img.shape[:2]
-            s = 256 / min(h, w)
+            s = r * 256 / 224 / min(h, w)
             img = _bilinear_resize(img, int(round(h * s)), int(round(w * s)))
             h, w = img.shape[:2]
             top, left = (h - r) // 2, (w - r) // 2
             img = img[top : top + r, left : left + r]
-        img = (img / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+            img = (img / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
         return np.ascontiguousarray(img, np.float32), int(self.labels[idx])
 
 
@@ -193,13 +212,30 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
         gelu=cfg.gelu,
     )
     enc_params = init_encoder_params(encoder, jax.random.key(cfg.seed))
-    if cfg.checkpoint and os.path.isdir(cfg.checkpoint):
+    if cfg.checkpoint:
         from avjepa_tpu.evals.video_classification import load_target_encoder_params
 
-        loaded = load_target_encoder_params(cfg.checkpoint, enc_params)
-        if loaded is not None:
-            enc_params = loaded
-            logger.info(f"loaded pretrained encoder from {cfg.checkpoint}")
+        strict = not cfg.allow_missing_checkpoint
+        if not os.path.isdir(cfg.checkpoint):
+            msg = f"pretrain checkpoint dir {cfg.checkpoint!r} does not exist"
+            if strict:
+                raise FileNotFoundError(
+                    msg + "; pass pretrain.allow_missing_checkpoint: true "
+                    "to probe a random encoder anyway"
+                )
+            logger.warning(msg + "; evaluating a RANDOM encoder")
+        else:
+            loaded = load_target_encoder_params(
+                cfg.checkpoint, enc_params, strict=strict
+            )
+            if loaded is not None:
+                enc_params = loaded
+                logger.info(f"loaded pretrained encoder from {cfg.checkpoint}")
+            else:
+                logger.warning(
+                    f"no checkpoint step under {cfg.checkpoint!r}; "
+                    "evaluating a RANDOM encoder"
+                )
 
     spec = VIT_SPECS[cfg.model_name]
     classifier = AttentiveClassifier(
@@ -274,20 +310,25 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
 
     from avjepa_tpu.parallel.mesh import count_correct
 
+    def collate(samples):
+        imgs = np.stack([s[0] for s in samples])
+        labels = np.asarray([s[1] for s in samples])
+        return imgs, labels
+
     opt = adamw_init(cls_params)
     step = jnp.zeros((), jnp.int32)
     sampler = ShardedSampler(len(train_ds), local_batch, seed=cfg.seed)
+    # worker-pool + prefetch + retry-resample pipeline (pretrain loader
+    # machinery; a corrupt image is resampled, decode overlaps device steps)
+    train_loader = JepaLoader(
+        train_ds, sampler, num_workers=cfg.num_workers, collate=collate
+    )
     summary = {}
     total = 0
     for epoch in range(cfg.num_epochs):
-        sampler.set_epoch(epoch)
-        if hasattr(train_ds, "set_epoch"):
-            train_ds.set_epoch(epoch)
+        train_loader.set_epoch(epoch)
         meter = AverageMeter()
-        for indices in sampler:
-            samples = [train_ds[int(i)] for i in indices]
-            imgs = np.stack([s[0] for s in samples])
-            labels = np.asarray([s[1] for s in samples])
+        for imgs, labels in train_loader:
             feats = encode(enc_params, put_batch(mesh, imgs))
             cls_params, opt, m = train_step(
                 cls_params, opt, step, feats, put_batch(mesh, labels)
@@ -303,15 +344,17 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
             break
 
     val_sampler = ShardedSampler(len(val_ds), local_batch, shuffle=False)
+    val_loader = JepaLoader(
+        val_ds, val_sampler, num_workers=cfg.num_workers, collate=collate
+    )
     correct = count = 0
-    for indices in val_sampler:
-        samples = [val_ds[int(i)] for i in indices]
-        imgs = np.stack([s[0] for s in samples])
-        labels = np.asarray([s[1] for s in samples])
+    for imgs, labels in val_loader:
         probs = predict(cls_params, encode(enc_params, put_batch(mesh, imgs)))
         labels_g = put_batch(mesh, labels)
         correct += int(jax.device_get(count_correct(probs, labels_g)))
         count += labels_g.shape[0]
+    train_loader.close()
+    val_loader.close()
     top1 = 100.0 * correct / max(count, 1)
     logger.info(f"[image-eval] val top-1: {top1:.2f}%")
     summary["val_top1"] = top1

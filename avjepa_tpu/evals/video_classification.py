@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from avjepa_tpu.data.av_dataset import load_index, sample_clip_indices
-from avjepa_tpu.data.loader import ShardedSampler
+from avjepa_tpu.data.loader import JepaLoader, ShardedSampler
 from avjepa_tpu.data.transforms import EvalVideoTransform, VideoTransform
 from avjepa_tpu.data.video_decoder import VideoFile
 from avjepa_tpu.layout import TokenLayout
@@ -60,6 +60,7 @@ class VideoEvalConfig:
     num_epochs: int = 20
     resolution: int = 224
     batch_size: int = 4
+    num_workers: int = 8
     weight_decay: float = 0.01
     lr: float = 1e-3
     start_lr: float = 1e-3
@@ -72,6 +73,9 @@ class VideoEvalConfig:
     tubelet_size: int = 2
     uniform_power: bool = True
     checkpoint: str = ""  # our Orbax ckpt dir from pretraining
+    # a configured-but-absent/mismatched checkpoint is an ERROR unless
+    # this is set: silently probing a random encoder wastes the run
+    allow_missing_checkpoint: bool = False
     checkpoint_key: str = "target_encoder"
     folder: str = "./eval_logs"
     tag: str = "video-eval"
@@ -96,7 +100,12 @@ def config_from_yaml(d: dict) -> VideoEvalConfig:
         num_segments=data.get("num_segments", 1),
         num_views_per_segment=data.get("num_views_per_segment", 1),
         frame_step=data.get("frame_step", 4),
+        num_workers=data.get("num_workers", 8),
         attend_across_segments=opt.get("attend_across_segments", True),
+        # 1D temporal pos-embed across segments (reference ClipAggregation
+        # exposes the flag, utils.py:96-113, but never wires it to YAML; here
+        # it is reachable from the config)
+        use_pos_embed=opt.get("use_pos_embed", False),
         frame_aggregation=opt.get("frame_aggregation", False),
         num_epochs=opt.get("num_epochs", 20),
         resolution=opt.get("resolution", 224),
@@ -113,6 +122,7 @@ def config_from_yaml(d: dict) -> VideoEvalConfig:
         uniform_power=pre.get("uniform_power", True),
         checkpoint=os.path.join(pre.get("folder", ""), pre.get("checkpoint", "")),
         checkpoint_key=pre.get("checkpoint_key", "target_encoder"),
+        allow_missing_checkpoint=pre.get("allow_missing_checkpoint", False),
         folder=d.get("folder", d.get("logging", {}).get("folder", "./eval_logs")),
         tag=d.get("tag", "video-eval"),
         source=data.get("source", "files"),
@@ -201,27 +211,104 @@ class SyntheticVideoClsDataset:
         return views, segs, label
 
 
-def load_target_encoder_params(ckpt_dir: str, video_params_like):
+def _leaf_paths(tree):
+    import jax.tree_util as jtu
+
+    out = {}
+    for path, leaf in jtu.tree_leaves_with_path(tree):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        out[name] = leaf
+    return out
+
+
+def load_target_encoder_params(
+    ckpt_dir: str, video_params_like, strict: bool = False
+):
     """Load the pretraining checkpoint's target-encoder subtree into a
-    video-only encoder param tree (prefix/shape-tolerant merge like the
-    reference's load_pretrained, eval.py:419-444: drop the audio patch
-    embed, keep everything else)."""
+    video-only encoder param tree.
+
+    Per-leaf shape-tolerant merge with loud logging, like the reference's
+    load_pretrained (evals/video_classification_frozen/eval.py:419-444):
+    leaves whose name+shape match are taken from the checkpoint; mismatched
+    or missing leaves keep their init values and are logged; checkpoint-only
+    leaves (e.g. the audio patch embed of an AV pretrain) are counted and
+    dropped. The restore goes through an ABSTRACT template built from the
+    checkpoint's own metadata (no raw untyped restore).
+
+    strict=True turns a missing checkpoint or any mismatched/missing leaf
+    into an error — a silent random encoder makes the whole probe run
+    meaningless.
+    """
+    logger = get_logger(rank=jax.process_index())
     mngr = CheckpointManager(ckpt_dir)
     step = mngr.latest_step()
     if step is None:
         mngr.close()
+        if strict:
+            raise FileNotFoundError(
+                f"no checkpoint found under {ckpt_dir!r}; pass "
+                "pretrain.allow_missing_checkpoint: true to probe a random "
+                "encoder anyway"
+            )
         return None
-    # restore the raw pytree and pick target_params
-    restored = mngr.mngr.restore(step)
+    meta = mngr.mngr.item_metadata(step)
+    template = jax.tree_util.tree_map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), meta
+    )
+    restored = mngr.restore(template, step)
     mngr.close()
-    src = restored["target_params"] if "target_params" in restored else restored
-    out = {}
-    for k, v in video_params_like.items():
-        if k in src:
-            out[k] = src[k]
+    src = (
+        restored["target_params"]
+        if isinstance(restored, dict) and "target_params" in restored
+        else restored
+    )
+
+    src_leaves = _leaf_paths(src)
+    like_leaves = _leaf_paths(video_params_like)
+    taken, mismatched, missing = [], [], []
+    merged = {}
+    for name, init_leaf in like_leaves.items():
+        ck = src_leaves.get(name)
+        if ck is None:
+            missing.append(name)
+            merged[name] = init_leaf
+        elif tuple(ck.shape) != tuple(init_leaf.shape):
+            mismatched.append((name, tuple(ck.shape), tuple(init_leaf.shape)))
+            merged[name] = init_leaf
         else:
-            out[k] = v
-    return out
+            taken.append(name)
+            merged[name] = np.asarray(ck).astype(init_leaf.dtype)
+    dropped = sorted(set(src_leaves) - set(like_leaves))
+
+    for name in missing:
+        logger.warning(f"checkpoint merge: {name} NOT in checkpoint; keeping init")
+    for name, cs, ls in mismatched:
+        logger.warning(
+            f"checkpoint merge: {name} shape {cs} != model {ls}; keeping init"
+        )
+    logger.info(
+        f"checkpoint merge: {len(taken)} leaves loaded, {len(missing)} missing, "
+        f"{len(mismatched)} shape-mismatched, {len(dropped)} checkpoint-only "
+        f"dropped (e.g. audio patch embed on a video-only eval)"
+    )
+    if strict and (missing or mismatched):
+        raise ValueError(
+            f"checkpoint {ckpt_dir!r} does not cover the encoder: "
+            f"{len(missing)} missing + {len(mismatched)} mismatched leaves "
+            "(see log); pass pretrain.allow_missing_checkpoint: true to "
+            "keep init values for them"
+        )
+
+    # rebuild the nested structure from the flat names
+    import jax.tree_util as jtu
+
+    paths_and_leaves = jtu.tree_leaves_with_path(video_params_like)
+    flat_merged = [
+        merged["/".join(str(getattr(k, "key", k)) for k in path)]
+        for path, _ in paths_and_leaves
+    ]
+    treedef = jtu.tree_structure(video_params_like)
+    return jtu.tree_unflatten(treedef, flat_merged)
 
 
 def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
@@ -241,11 +328,28 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
     from avjepa_tpu.models import init_encoder_params
 
     enc_params = init_encoder_params(encoder, jax.random.key(cfg.seed))
-    if cfg.checkpoint and os.path.isdir(cfg.checkpoint):
-        loaded = load_target_encoder_params(cfg.checkpoint, enc_params)
-        if loaded is not None:
-            enc_params = loaded
-            logger.info(f"loaded pretrained encoder from {cfg.checkpoint}")
+    if cfg.checkpoint:
+        strict = not cfg.allow_missing_checkpoint
+        if not os.path.isdir(cfg.checkpoint):
+            msg = f"pretrain checkpoint dir {cfg.checkpoint!r} does not exist"
+            if strict:
+                raise FileNotFoundError(
+                    msg + "; pass pretrain.allow_missing_checkpoint: true "
+                    "to probe a random encoder anyway"
+                )
+            logger.warning(msg + "; evaluating a RANDOM encoder")
+        else:
+            loaded = load_target_encoder_params(
+                cfg.checkpoint, enc_params, strict=strict
+            )
+            if loaded is not None:
+                enc_params = loaded
+                logger.info(f"loaded pretrained encoder from {cfg.checkpoint}")
+            else:
+                logger.warning(
+                    f"no checkpoint step under {cfg.checkpoint!r}; "
+                    "evaluating a RANDOM encoder"
+                )
 
     spec = VIT_SPECS[cfg.model_name]
     classifier = AttentiveClassifier(
@@ -361,16 +465,13 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
 
     from avjepa_tpu.parallel.mesh import count_correct
 
-    def batchify(ds, indices):
-        views, segs, labels = [], [], []
-        for i in indices:
-            v, s, l = ds[int(i)]
-            views.append(v)
-            segs.append(s)
-            labels.append(l)
+    def collate(samples):
+        # [seg][view] sample lists -> stacked [seg][view][B, T, H, W, 3]
+        views = [s[0] for s in samples]
+        segs = [s[1] for s in samples]
+        labels = [s[2] for s in samples]
         n_seg = len(views[0])
         n_view = len(views[0][0])
-        # [seg][view] -> [seg][view][B, T, H, W, 3]
         batched = [
             [np.stack([views[b][s][v] for b in range(len(views))]) for v in range(n_view)]
             for s in range(n_seg)
@@ -408,15 +509,19 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
         ("%.2e", "lr"),
     )
     sampler = ShardedSampler(len(train_ds), local_batch, seed=cfg.seed)
+    # worker-pool + prefetch + retry-resample batch pipeline — the pretrain
+    # loader's machinery (a corrupt clip is resampled, not fatal; decode
+    # overlaps device steps). Reference: 8-12-worker eval DataLoaders,
+    # evals/video_classification_frozen/eval.py:447-493.
+    train_loader = JepaLoader(
+        train_ds, sampler, num_workers=cfg.num_workers, collate=collate
+    )
     summary = {}
     total = 0
     for epoch in range(start_epoch, cfg.num_epochs):
-        sampler.set_epoch(epoch)
-        if hasattr(train_ds, "set_epoch"):
-            train_ds.set_epoch(epoch)
+        train_loader.set_epoch(epoch)
         meter = AverageMeter()
-        for batch_indices in sampler:
-            batched, seg_idx, labels = batchify(train_ds, batch_indices)
+        for batched, seg_idx, labels in train_loader:
             outs = [encode(enc_params, put_batch(mesh, batched[s][0]))
                     for s in range(len(batched))]
             feats = aggregate(outs, seg_idx)[0]
@@ -448,10 +553,12 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
 
     # validation: average softmax over segments x views
     val_sampler = ShardedSampler(len(val_ds), local_batch, shuffle=False, seed=0)
+    val_loader = JepaLoader(
+        val_ds, val_sampler, num_workers=cfg.num_workers, collate=collate
+    )
     correct = 0
     count = 0
-    for batch_indices in val_sampler:
-        batched, seg_idx, labels = batchify(val_ds, batch_indices)
+    for batched, seg_idx, labels in val_loader:
         n_view = len(batched[0])
         probs = 0.0
         for v in range(n_view):
@@ -463,6 +570,8 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
         labels_g = put_batch(mesh, labels)
         correct += int(jax.device_get(count_correct(probs, labels_g)))
         count += labels_g.shape[0]
+    train_loader.close()
+    val_loader.close()
     top1 = 100.0 * correct / max(count, 1)
     logger.info(f"[eval] val top-1: {top1:.2f}%")
     summary["val_top1"] = top1

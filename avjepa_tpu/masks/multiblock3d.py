@@ -61,6 +61,11 @@ class MaskSet:
     enc: np.ndarray
     pred: np.ndarray
     enc_idx: np.ndarray | None = None
+    # [B, Ku_pad] int32 ascending enc∪pred indices (sentinel N padding) for
+    # the compacted-predictor path: the predictor's blocks only need to run
+    # over context + target positions, and Ku = Ke + Kp is batch-uniform by
+    # the same min-keep truncation that makes enc_idx rectangular.
+    union_idx: np.ndarray | None = None
 
     @property
     def enc_count(self) -> np.ndarray:
@@ -90,6 +95,18 @@ def _dense(keep_lists: list[np.ndarray], n: int) -> np.ndarray:
     out = np.zeros((len(keep_lists), n), dtype=bool)
     for i, k in enumerate(keep_lists):
         out[i, k] = True
+    return out
+
+
+def _bucket_pad(index_lists: list[np.ndarray], batch_size: int, n: int) -> np.ndarray:
+    """Rectangular [B, K_pad] int32 index array, K bucketed up to a multiple
+    of 128 (bounds recompilation under mask churn) with sentinel ``n``
+    padding so device scatters drop the pad lanes."""
+    k = len(index_lists[0])
+    k_pad = max(-(-k // 128) * 128, 128)
+    out = np.full((batch_size, k_pad), n, dtype=np.int32)
+    for b, c in enumerate(index_lists):
+        out[b, :k] = c
     return out
 
 
@@ -166,7 +183,7 @@ class _BlockGenerator:
 
         keeps_v, preds_v, keeps_a, preds_a = [], [], [], []
         for _ in range(batch_size):
-            while True:
+            for attempt in range(1000):
                 grid_v = np.ones((self.duration, self.height, self.width), np.int32)
                 grid_a = np.ones((self.a_height, self.a_width), np.int32)
                 for _ in range(self.num_blocks):
@@ -181,7 +198,17 @@ class _BlockGenerator:
                     ctx_v = flat_v
                 keep_v = np.flatnonzero(ctx_v)
                 if len(keep_v) == 0:
-                    continue
+                    # degenerate draw (blocks covered the whole raster): the
+                    # reference retries forever here (avmultiblock3d.py
+                    # rejection loop) — a mask config whose block size covers
+                    # the full grid (possible on tiny test grids) would HANG
+                    # the loader. Bound the loop and force-keep one position.
+                    if attempt == 999:
+                        ctx_v = flat_v.copy()
+                        ctx_v[0] = 1
+                        keep_v = np.flatnonzero(ctx_v)
+                    else:
+                        continue
                 keeps_v.append(keep_v)
                 preds_v.append(np.flatnonzero(ctx_v == 0))
                 flat_a = grid_a.reshape(-1)
@@ -206,14 +233,22 @@ class _BlockGenerator:
             combined = [
                 np.concatenate([kv, nv + ka]) for kv, ka in zip(keeps_v, keeps_a)
             ]
+            unions = [
+                np.concatenate(
+                    [np.sort(np.concatenate([kv, pv])),
+                     nv + np.sort(np.concatenate([ka, pa]))]
+                )
+                for kv, pv, ka, pa in zip(keeps_v, preds_v, keeps_a, preds_a)
+            ]
         else:
             combined = keeps_v
-        k = len(combined[0])
-        k_pad = max(-(-k // 128) * 128, 128)
-        enc_idx = np.full((batch_size, k_pad), n, dtype=np.int32)
-        for b, c in enumerate(combined):
-            enc_idx[b, :k] = c
-        return MaskSet(enc=enc, pred=pred, enc_idx=enc_idx)
+            unions = [
+                np.sort(np.concatenate([kv, pv]))
+                for kv, pv in zip(keeps_v, preds_v)
+            ]
+        enc_idx = _bucket_pad(combined, batch_size, n)
+        union_idx = _bucket_pad(unions, batch_size, n)
+        return MaskSet(enc=enc, pred=pred, enc_idx=enc_idx, union_idx=union_idx)
 
 
 class AVMaskCollator:

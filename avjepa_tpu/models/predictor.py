@@ -58,6 +58,7 @@ class Predictor(nn.Module):
         mask_index: int = 0,
         target: Optional[jnp.ndarray] = None,
         noise_rng: Optional[jnp.ndarray] = None,
+        gather_idx: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """ctx: [B, N, D] dense encoder output; enc_mask/pred_mask: [B, N] bool.
 
@@ -66,6 +67,15 @@ class Predictor(nn.Module):
         reference's forward-diffusion fallback,
         src/models/audiovisionpredictor.py:182-200,244-249): ``target`` is the
         dense [B, N, D] target-encoder output and ``noise_rng`` a PRNG key.
+
+        gather_idx: optional [B, Ku] int32 ascending enc∪pred indices
+        (sentinel N padding) — the compacted-predictor fast path. The dense
+        head (embed, mask-token fill, pos embeds — ~1% of predictor FLOPs)
+        still runs at full N; the transformer blocks and output projection
+        (everything expensive) run only over the Ku kept positions, and the
+        result is scattered back to the dense raster. Identical math: tokens
+        outside enc∪pred are excluded from attention by key_mask on the dense
+        path anyway, and attention is permutation-equivariant.
 
         Returns [B, N, D] dense predictions (valid only at pred_mask positions).
         """
@@ -150,6 +160,15 @@ class Predictor(nn.Module):
 
         key_mask = jnp.logical_or(enc_mask, pred_mask)
 
+        n = x.shape[1]
+        if gather_idx is not None:
+            # compact: keep only enc∪pred positions for the block stack
+            safe = jnp.minimum(gather_idx, n - 1)
+            x = jnp.take_along_axis(x, safe[..., None], axis=1)
+            key_mask = jnp.logical_and(
+                jnp.take_along_axis(key_mask, safe, axis=1), gather_idx < n
+            )
+
         x = BlockStack(
             depth=self.depth,
             dim=dp,
@@ -168,4 +187,8 @@ class Predictor(nn.Module):
         x = nn.Dense(
             self.embed_dim, dtype=self.dtype, kernel_init=clipped_normal_init(), name="proj"
         )(x)
+        if gather_idx is not None:
+            b = x.shape[0]
+            dense = jnp.zeros((b, n, self.embed_dim), x.dtype)
+            x = dense.at[jnp.arange(b)[:, None], gather_idx].set(x, mode="drop")
         return x

@@ -469,8 +469,8 @@ def _fwd_packed_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     # a full VPU sweep):
     #  - the softmax scale is folded into the TINY q tile ([bq, d] work)
     #    instead of multiplying the score tile;
-    #  - no-max softmax: clamp only the TOP at +SOFTMAX_CLAMP (exp(60)*N is
-    #    far below f32 overflow); very negative logits underflow to 0 on
+    #  - no-max softmax: clamp only the TOP at +SOFTMAX_CLAMP
+    #    (exp(SOFTMAX_CLAMP)*N is far below f32 overflow); very negative logits underflow to 0 on
     #    their own, so no lower clamp — masked keys (s = -1e30) get exactly
     #    p = 0, and a fully-masked row outputs exactly 0 (the XLA path
     #    returns garbage there; callers treat those rows as don't-care).

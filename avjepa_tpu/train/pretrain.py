@@ -111,6 +111,7 @@ class TrainHandles:
     loader: JepaLoader
     mask_collator: object
     compact: bool = True
+    compact_pred: bool = True
 
     def step(self, state, video, audio, masks):
         """Run one train step from host-side numpy batch + MaskSets.
@@ -134,13 +135,20 @@ class TrainHandles:
                         if m.enc_idx is not None
                         else None
                     ),
+                    union_idx=(
+                        np.concatenate([m.union_idx] * c, axis=0)
+                        if getattr(m, "union_idx", None) is not None
+                        else None
+                    ),
                 )
                 for m in masks
             ]
         out = stack_masksets(masks, with_idx=True)
-        enc_m, pred_m, idx = out
+        enc_m, pred_m, idx, union = out
         if not self.compact:
             idx = None
+        if not self.compact_pred:
+            union = None
         # ship pixels at the model's compute dtype: halves host->device bytes
         # and avoids keeping an f32 copy of the video in HBM (the models cast
         # to bf16 at the patch embed anyway)
@@ -166,7 +174,9 @@ class TrainHandles:
             pred_m = put_batch(mesh, np.asarray(pred_m), m_sh)
             if idx is not None:
                 idx = tuple(put_batch(mesh, np.asarray(i), b_sh) for i in idx)
-            return self.step_fn(state, video, audio, enc_m, pred_m, idx)
+            if union is not None:
+                union = put_batch(mesh, np.asarray(union), m_sh)
+            return self.step_fn(state, video, audio, enc_m, pred_m, idx, union)
         if idx is not None:
             idx = tuple(jnp.asarray(i) for i in idx)
         return self.step_fn(
@@ -176,6 +186,7 @@ class TrainHandles:
             jnp.asarray(enc_m),
             jnp.asarray(pred_m),
             idx,
+            jnp.asarray(union) if union is not None else None,
         )
 
 
@@ -220,6 +231,7 @@ def setup(cfg: ExperimentConfig, mesh=None) -> TrainHandles:
     raw_step = make_train_step(encoder, predictor, sched, step_cfg)
 
     compact = bool(cfg.tpu.compact_context)
+    compact_pred = bool(cfg.tpu.compact_predictor)
     batch_sh = NamedSharding(mesh, P(("data", "fsdp")))
     mask_sh = NamedSharding(mesh, P(None, ("data", "fsdp")))
     idx_sh = (
@@ -227,6 +239,7 @@ def setup(cfg: ExperimentConfig, mesh=None) -> TrainHandles:
         if compact
         else None
     )
+    union_sh = mask_sh if compact_pred else None
     repl = NamedSharding(mesh, P())
     step_fn = jax.jit(
         raw_step,
@@ -237,6 +250,7 @@ def setup(cfg: ExperimentConfig, mesh=None) -> TrainHandles:
             mask_sh,
             mask_sh,
             idx_sh,
+            union_sh,
         ),
         out_shardings=(sh, repl),
         donate_argnums=(0,),
@@ -283,12 +297,33 @@ def setup(cfg: ExperimentConfig, mesh=None) -> TrainHandles:
         loader=loader,
         mask_collator=collator,
         compact=compact,
+        compact_pred=compact_pred,
     )
 
 
 def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
     """Full pretraining loop. Returns summary metrics."""
     logger = get_logger(rank=jax.process_index())
+
+    # preemption: SIGTERM requests a checkpoint-and-exit at the next step
+    # boundary (TPU preemption / maintenance events deliver SIGTERM; the
+    # reference requeues via submitit + SLURM instead,
+    # app/main_distributed.py:65-67 — the TPU runbook is documented in
+    # COVERAGE.md: restart with AVJEPA_RESUME_PREEMPT=1 or
+    # meta.load_checkpoint: true and the run resumes from this save).
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+        logger.warning("SIGTERM received: checkpointing at next step boundary")
+
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:  # not the main thread (tests drive run() directly)
+        prev_handler = None
+
     handles = setup(cfg)
     state = handles.state
     layout = cfg.layout()
@@ -433,10 +468,13 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
             total += 1
             if max_steps is not None and total >= max_steps:
                 break
+            if preempted["flag"]:
+                break
         if (
             epoch % cfg.logging.checkpoint_freq == 0
             or epoch == cfg.optimization.epochs - 1
             or (max_steps is not None and total >= max_steps)
+            or preempted["flag"]
         ):
             # distributed save: every host participates and Orbax writes each
             # shard from the host that owns it — a process-0 device_get would
@@ -464,9 +502,19 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
         }
         if max_steps is not None and total >= max_steps:
             break
+        if preempted["flag"]:
+            saved = int(jax.device_get(state.step))
+            logger.warning(
+                f"preempted: checkpoint saved at step {saved}; restart with "
+                "AVJEPA_RESUME_PREEMPT=1 (or meta.load_checkpoint: true) to resume"
+            )
+            summary["preempted"] = True
+            break
     ckpt.close()
     if monitor is not None:
         monitor.stop()
+    if prev_handler is not None:
+        signal.signal(signal.SIGTERM, prev_handler)
     return summary
 
 

@@ -81,7 +81,7 @@ def make_train_step(
     """
 
     def loss_fn(enc_params, pred_params, target_params, video, audio, enc_masks,
-                pred_masks, enc_idx, step):
+                pred_masks, enc_idx, union_idx, step):
         num_cfgs = enc_masks.shape[0]
         n = enc_masks.shape[2]
 
@@ -131,15 +131,24 @@ def make_train_step(
             enc_all = jnp.swapaxes(enc_masks, 0, 1).reshape(b * num_cfgs, n)
             pred_all = jnp.swapaxes(pred_masks, 0, 1).reshape(b * num_cfgs, n)
             midx = jnp.tile(jnp.arange(num_cfgs, dtype=jnp.int32), b)
+            u_all = None
+            if union_idx is not None:
+                # [M, B, Ku] -> batch-major [B*M, Ku], matching ctx_all
+                u_all = jnp.swapaxes(union_idx, 0, 1).reshape(
+                    b * num_cfgs, union_idx.shape[-1]
+                )
             z_all = predictor.apply(
-                {"params": pred_params}, ctx_all, enc_all, pred_all, midx
+                {"params": pred_params}, ctx_all, enc_all, pred_all, midx,
+                gather_idx=u_all,
             )
             zs = [z_all[i::num_cfgs] for i in range(num_cfgs)]
         else:
             zs = [
                 predictor.apply(
                     {"params": pred_params}, encode_ctx(i), enc_masks[i],
-                    pred_masks[i], i, **pred_kwargs
+                    pred_masks[i], i,
+                    gather_idx=None if union_idx is None else union_idx[i],
+                    **pred_kwargs
                 )
                 for i in range(num_cfgs)
             ]
@@ -161,7 +170,7 @@ def make_train_step(
         return loss, (loss_jepa, loss_reg)
 
     def train_step(state: JepaState, video, audio, enc_masks, pred_masks,
-                   enc_idx=None):
+                   enc_idx=None, union_idx=None):
         step = state.step
         lr = lr_at_step(sched, step)
         wd = wd_at_step(sched, step)
@@ -176,6 +185,7 @@ def make_train_step(
             enc_masks,
             pred_masks,
             enc_idx,
+            union_idx,
             step,
         )
 
@@ -302,7 +312,9 @@ def _tree_abs_mean(tree) -> jnp.ndarray:
 
 def stack_masksets(masksets: Sequence[MaskSet], with_idx: bool = False):
     """Host-side: list[MaskSet] -> (enc [M,B,N], pred [M,B,N]) numpy bools,
-    plus (with_idx) the per-config compact index tuple ([B, K_i] each)."""
+    plus (with_idx) the per-config compact context index tuple ([B, K_i]
+    each) and the [M, B, Ku] union-index stack for the compacted predictor
+    (configs padded with the sentinel N to a common bucketed Ku)."""
     import numpy as np
 
     enc = np.stack([m.enc for m in masksets])
@@ -312,4 +324,12 @@ def stack_masksets(masksets: Sequence[MaskSet], with_idx: bool = False):
     idx = tuple(m.enc_idx for m in masksets)
     if any(i is None for i in idx):
         idx = None
-    return enc, pred, idx
+    unions = [m.union_idx for m in masksets]
+    union = None
+    if all(u is not None for u in unions):
+        n = enc.shape[2]
+        ku = max(u.shape[1] for u in unions)
+        union = np.full((len(unions), unions[0].shape[0], ku), n, np.int32)
+        for i, u in enumerate(unions):
+            union[i, :, : u.shape[1]] = u
+    return enc, pred, idx, union

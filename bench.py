@@ -83,7 +83,7 @@ def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20,
 
     def to_device(batch_tuple):
         video, audio, _, masks = batch_tuple
-        enc_m, pred_m, idx = stack_masksets(masks, with_idx=True)
+        enc_m, pred_m, idx, union = stack_masksets(masks, with_idx=True)
         dt = jnp.bfloat16 if cfg.meta.dtype == "bfloat16" else jnp.float32
         return (
             jnp.asarray(video, dt),
@@ -91,6 +91,9 @@ def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20,
             jnp.asarray(enc_m),
             jnp.asarray(pred_m),
             tuple(jnp.asarray(i) for i in idx) if handles.compact else None,
+            jnp.asarray(union)
+            if handles.compact_pred and union is not None
+            else None,
         )
 
     state = handles.state
@@ -101,13 +104,13 @@ def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20,
     if mode == "device":
         # pure device step: ONE pre-transferred batch + mask set, repeated
         # (host->device moves through this environment's tunnel are slow)
-        video, audio, enc_m, pred_m, idx = to_device(next(iter(handles.loader)))
+        video, audio, enc_m, pred_m, idx, union = to_device(next(iter(handles.loader)))
         fed_batch = video.shape[0]
-        state, metrics = handles.step_fn(state, video, audio, enc_m, pred_m, idx)
+        state, metrics = handles.step_fn(state, video, audio, enc_m, pred_m, idx, union)
         float(jax.device_get(metrics["loss"]))
         t0 = time.perf_counter()
         for _ in range(steps):
-            state, metrics = handles.step_fn(state, video, audio, enc_m, pred_m, idx)
+            state, metrics = handles.step_fn(state, video, audio, enc_m, pred_m, idx, union)
         float(jax.device_get(metrics["loss"]))
         dt = time.perf_counter() - t0
     elif mode == "maskvar":

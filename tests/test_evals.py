@@ -107,3 +107,110 @@ def test_eval_metric_reduction_matches_host():
     got = int(jax.device_get(count_correct(put_batch(mesh, probs), put_batch(mesh, labels))))
     want = int((probs.argmax(-1) == labels).sum())
     assert got == want
+
+
+class _FakeVideoFile:
+    """Stands in for the native decoder: one fixed-size random frame."""
+
+    shape = (300, 400)  # h, w — smaller than 384*256/224 ≈ 439 short side
+
+    def __init__(self, path):
+        self.path = path
+
+    def decode_frames(self, idxs):
+        h, w = self.shape
+        rng = np.random.default_rng(abs(hash(self.path)) % (2**32))
+        return rng.uniform(0, 255, (len(idxs), h, w, 3)).astype(np.uint8)
+
+
+def _make_image_ds(tmp_path, monkeypatch, resolution, train):
+    import avjepa_tpu.evals.image_classification as ic
+
+    monkeypatch.setattr(ic, "VideoFile", _FakeVideoFile)
+    csv = tmp_path / "index.csv"
+    csv.write_text("".join(f"/fake/img_{i}.jpg {i % 3}\n" for i in range(4)))
+    cfg = ic.ImageEvalConfig(
+        dataset_train=str(csv), dataset_val=str(csv), resolution=resolution
+    )
+    return ic.ImageDataset(cfg, train=train)
+
+
+def test_image_val_transform_224_and_384(tmp_path, monkeypatch):
+    """Val center-crop scales its resize with resolution (ref eval.py:406):
+    at 384 the old fixed-256 short side underflowed the crop."""
+    for r in (224, 384):
+        ds = _make_image_ds(tmp_path, monkeypatch, r, train=False)
+        img, label = ds[0]
+        assert img.shape == (r, r, 3), (r, img.shape)
+        assert 0 <= label < 3
+
+
+def test_image_train_transform_augments_per_epoch(tmp_path, monkeypatch):
+    """Train path (auto-augment original + pixel erasing) yields a valid
+    shape and different samples across epochs (epoch-salted rng)."""
+    ds = _make_image_ds(tmp_path, monkeypatch, 64, train=True)
+    ds.set_epoch(0)
+    a, _ = ds[1]
+    ds.set_epoch(1)
+    b, _ = ds[1]
+    assert a.shape == b.shape == (64, 64, 3)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert not np.allclose(a, b)
+
+
+class _CorruptSometimesVideoFile(_FakeVideoFile):
+    """Raises on one specific 'corrupt' path, decodes otherwise."""
+
+    def __init__(self, path):
+        super().__init__(path)
+        if path.endswith("img_1.jpg"):
+            raise RuntimeError("simulated corrupt file")
+
+
+def test_eval_loader_survives_corrupt_file(tmp_path, monkeypatch):
+    """A corrupt file in the eval index is retry-resampled by the shared
+    loader machinery instead of crashing the probe run (reference resamples:
+    src/datasets/audiovideo_dataset.py:163-170)."""
+    import avjepa_tpu.evals.image_classification as ic
+    from avjepa_tpu.data.loader import JepaLoader, ShardedSampler
+
+    monkeypatch.setattr(ic, "VideoFile", _CorruptSometimesVideoFile)
+    csv = tmp_path / "index.csv"
+    csv.write_text("".join(f"/fake/img_{i}.jpg {i % 3}\n" for i in range(8)))
+    cfg = ic.ImageEvalConfig(dataset_train=str(csv), dataset_val=str(csv), resolution=32)
+    ds = ic.ImageDataset(cfg, train=False)
+
+    def collate(samples):
+        return (
+            np.stack([s[0] for s in samples]),
+            np.asarray([s[1] for s in samples]),
+        )
+
+    sampler = ShardedSampler(len(ds), batch_size=4, shuffle=False, num_shards=1, shard_index=0)
+    loader = JepaLoader(ds, sampler, num_workers=2, collate=collate)
+    batches = list(loader)
+    loader.close()
+    assert len(batches) == 2
+    for imgs, labels in batches:
+        assert imgs.shape == (4, 32, 32, 3)
+        assert np.isfinite(imgs).all()
+
+
+def test_missing_checkpoint_is_an_error(tmp_path):
+    """A configured-but-absent pretrain checkpoint must fail loudly (not
+    silently probe a random encoder) unless explicitly overridden."""
+    import pytest
+
+    from avjepa_tpu.evals.image_classification import ImageEvalConfig
+    from avjepa_tpu.evals.image_classification import run as run_image
+
+    cfg = ImageEvalConfig(
+        num_classes=2, resolution=32, batch_size=1, num_epochs=1,
+        use_bfloat16=False, model_name="vit_tiny", frames_per_clip=4,
+        source="synthetic", checkpoint=str(tmp_path / "nope"),
+    )
+    with pytest.raises(FileNotFoundError):
+        run_image(cfg, max_steps=1)
+    cfg.allow_missing_checkpoint = True
+    summary = run_image(cfg, max_steps=1)
+    assert "val_top1" in summary

@@ -107,3 +107,24 @@ def test_dispatch():
     assert isinstance(
         make_mask_collator("random", [{"ratio": 0.5}], lo), RandomTubeCollator
     )
+
+
+def test_degenerate_full_coverage_config_terminates():
+    """A block size that covers the entire raster must not hang the sampler
+    (the reference's rejection loop spins forever on such configs); the
+    bounded loop force-keeps one position."""
+    from avjepa_tpu.layout import TokenLayout
+    from avjepa_tpu.masks.multiblock3d import make_mask_collator
+
+    lo = TokenLayout(num_frames=4, crop_size=32, patch_size=16, tubelet_size=2,
+                     audio_enabled=False)
+    coll = make_mask_collator(
+        "multiblock3d",
+        [{"aspect_ratio": [1.0, 1.0], "num_blocks": 2,
+          "spatial_scale": [1.0, 1.0], "temporal_scale": [1.0, 1.0]}],
+        lo, base_seed=0,
+    )
+    masks = coll(3)  # must return, not hang
+    m = masks[0]
+    assert (m.enc.sum(axis=1) >= 1).all()
+    assert not np.logical_and(m.enc, m.pred).any()

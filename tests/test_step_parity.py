@@ -94,8 +94,14 @@ def masks_to_index_lists(masksets):
     return out
 
 
-def ref_train_steps(enc, pred, target, videos, audios, mask_lists, loss_exp=1.0):
-    """Run the reference training math for len(videos) steps; return losses."""
+def ref_train_steps(enc, pred, target, videos, audios, mask_lists, loss_exp=1.0,
+                    reg_coeff=0.0):
+    """Run the reference training math for len(videos) steps; return losses.
+
+    reg_coeff > 0 adds the reference's predictor-variance regularizer
+    (app/avjepa/train.py:497-509): pstd = mean over configs of
+    sqrt(var over tokens(z) + 1e-4); loss += reg_coeff * mean(relu(1-pstd)).
+    """
     import sys
 
     sys.path.insert(0, "/root/reference")
@@ -141,6 +147,7 @@ def ref_train_steps(enc, pred, target, videos, audios, mask_lists, loss_exp=1.0)
             hv, ha = torch.split(h, [nv, LAYOUT.num_audio_tokens], dim=1)
 
         loss = 0.0
+        pstd_sum = 0.0
         for mi, (ev, ea, pv, pa) in enumerate(masks):
             z = enc(tv, ta, masks=(ev, ea))
             zv, za = torch.split(z, [ev.shape[1], ea.shape[1]], dim=1)
@@ -156,7 +163,13 @@ def ref_train_steps(enc, pred, target, videos, audios, mask_lists, loss_exp=1.0)
                 dim=1,
             )
             loss = loss + torch.mean(torch.abs(out - tgt) ** loss_exp) / loss_exp
+            pstd_sum = pstd_sum + torch.sqrt(out.var(dim=1) + 0.0001)
         loss = loss / len(masks)
+        if reg_coeff > 0.0:
+            pstd = pstd_sum / len(masks)
+            loss = loss + reg_coeff * torch.mean(
+                torch.nn.functional.relu(1.0 - pstd)
+            )
 
         loss.backward()
         opt.step()
@@ -354,3 +367,72 @@ def test_train_step_parity_with_grad_clip():
     np.testing.assert_allclose(jax_losses, ref_losses, rtol=2e-3)
     # verify clipping actually fired on both sides (grad norms >> clip)
     assert float(jax.device_get(metrics["enc_grad_norm"])) > clip
+
+
+def test_train_step_parity_with_variance_reg():
+    """reg_coeff > 0: the predictor-variance regularizer path (reference
+    app/avjepa/train.py:497-509) must match — sqrt(var+1e-4) over tokens,
+    averaged over configs, relu-hinged at 1."""
+    reg_coeff = 0.25
+    enc_t, pred_t, target_t = make_ref_models()
+
+    encoder = Encoder(layout=LAYOUT, embed_dim=EMBED, depth=DEPTH,
+                      num_heads=HEADS, uniform_power=True)
+    predictor = Predictor(layout=LAYOUT, embed_dim=EMBED,
+                          predictor_embed_dim=PRED_EMBED, depth=PRED_DEPTH,
+                          num_heads=HEADS, uniform_power=True,
+                          use_mask_tokens=True, num_mask_tokens=2,
+                          zero_init_mask_tokens=True)
+    state = init_state(
+        jax.tree_util.tree_map(jnp.asarray, torch_encoder_to_params(enc_t, DEPTH)),
+        jax.tree_util.tree_map(
+            jnp.asarray, torch_predictor_to_params(pred_t, PRED_DEPTH)
+        ),
+    )
+    sched = ScheduleConfig(
+        ipe=SCHED["ipe"], num_epochs=SCHED["num_epochs"],
+        ipe_scale=SCHED["ipe_scale"], warmup_epochs=SCHED["warmup_epochs"],
+        start_lr=SCHED["start_lr"], ref_lr=SCHED["ref_lr"],
+        final_lr=SCHED["final_lr"], ref_wd=SCHED["ref_wd"],
+        final_wd=SCHED["final_wd"], ema_start=SCHED["ema_start"],
+        ema_end=SCHED["ema_end"],
+    )
+    step_cfg = StepConfig(loss_exp=1.0, reg_coeff=reg_coeff, clip_grad=None,
+                          warmup_epochs=1, ipe=SCHED["ipe"])
+    step_fn = jax.jit(make_train_step(encoder, predictor, sched, step_cfg))
+
+    rng = np.random.default_rng(55)
+    videos = [rng.normal(size=(BATCH, FRAMES, CROP, CROP, 3)).astype(np.float32)
+              for _ in range(STEPS)]
+    audios = [rng.normal(size=(BATCH, 128, 192, 1)).astype(np.float32)
+              for _ in range(STEPS)]
+    coll = AVMaskCollator(
+        [
+            {"aspect_ratio": [0.75, 1.5], "num_blocks": 2,
+             "spatial_scale": [0.2, 0.2], "temporal_scale": [1.0, 1.0]},
+            {"aspect_ratio": [0.75, 1.5], "num_blocks": 1,
+             "spatial_scale": [0.6, 0.6], "temporal_scale": [1.0, 1.0]},
+        ],
+        LAYOUT, base_seed=13,
+    )
+    all_masks = [coll(BATCH) for _ in range(STEPS)]
+    mask_lists = [masks_to_index_lists(m) for m in all_masks]
+
+    ref_losses = ref_train_steps(
+        enc_t, pred_t, target_t, videos, audios, mask_lists, reg_coeff=reg_coeff
+    )
+
+    jax_losses, reg_vals = [], []
+    for stp in range(STEPS):
+        enc_m, pred_m = stack_masksets(all_masks[stp])
+        state, metrics = step_fn(
+            state, jnp.asarray(videos[stp]), jnp.asarray(audios[stp]),
+            jnp.asarray(enc_m), jnp.asarray(pred_m),
+        )
+        jax_losses.append(float(jax.device_get(metrics["loss"])))
+        reg_vals.append(float(jax.device_get(metrics["loss_reg"])))
+
+    np.testing.assert_allclose(jax_losses, ref_losses, rtol=2e-3)
+    # zero-init mask tokens make early predictions low-variance: the reg term
+    # must actually be ACTIVE, or this test proves nothing
+    assert max(reg_vals) > 1e-3, reg_vals

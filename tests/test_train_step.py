@@ -117,22 +117,33 @@ def test_mesh_sharding_multichip(tmp_path):
 
 
 def test_compact_matches_dense(tmp_path):
-    """Compacted context encoding must produce the same loss as dense."""
+    """Compacted context encoding AND compacted predictor must each produce
+    the same loss as the fully-dense path."""
     cfg_d = make_cfg(tmp_path)
     cfg_d.tpu.compact_context = False
+    cfg_d.tpu.compact_predictor = False
     h_dense = pretrain.setup(cfg_d)
     video, audio, _, masks = next(iter(h_dense.loader))
     _, m_dense = h_dense.step(h_dense.state, video, audio, masks)
+    loss_dense = float(jax.device_get(m_dense["loss"]))
 
     cfg_c = make_cfg(tmp_path / "c")
     cfg_c.tpu.compact_context = True
+    cfg_c.tpu.compact_predictor = False
     h_comp = pretrain.setup(cfg_c)
     _, m_comp = h_comp.step(h_comp.state, video, audio, masks)
 
+    cfg_p = make_cfg(tmp_path / "p")
+    cfg_p.tpu.compact_context = True
+    cfg_p.tpu.compact_predictor = True
+    h_pred = pretrain.setup(cfg_p)
+    _, m_pred = h_pred.step(h_pred.state, video, audio, masks)
+
     np.testing.assert_allclose(
-        float(jax.device_get(m_dense["loss"])),
-        float(jax.device_get(m_comp["loss"])),
-        rtol=1e-5,
+        loss_dense, float(jax.device_get(m_comp["loss"])), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        loss_dense, float(jax.device_get(m_pred["loss"])), rtol=1e-5
     )
 
 

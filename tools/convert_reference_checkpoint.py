@@ -21,6 +21,17 @@ Usage:
 The YAML is the pretrain config the checkpoint was trained with (model
 sizes must match). --out-folder/--tag default to the config's logging
 section.
+
+The reverse direction (leave this framework, or hand a checkpoint back to
+torch tooling) is ``--export``:
+
+  python tools/convert_reference_checkpoint.py --export <orbax-ckpt-dir> \
+      <out.pth.tar> [--ipe N]
+
+which writes the reference's exact epoch-checkpoint dict
+(encoder/predictor/target_encoder state dicts + epoch, reference
+app/avjepa/train.py:332-350) from the latest Orbax step, via the inverse
+key mapping in avjepa_tpu/utils/torch_import.py.
 """
 
 from __future__ import annotations
@@ -123,14 +134,74 @@ def convert(ckpt_path: str, config_path: str, out_folder: str | None,
     return ckpt_dir
 
 
+def export(ckpt_dir: str, out_path: str, ipe: int = 1) -> str:
+    """Latest Orbax step -> reference-format ``.pth.tar``.
+
+    Restores through an abstract ShapeDtypeStruct template (never two full
+    states alive), maps the three param pytrees back to reference state-dict
+    keys, and saves the dict layout the reference writes each epoch
+    (app/avjepa/train.py:332-350) so reference eval/resume tooling reads it.
+    """
+    import torch
+
+    import jax
+    from avjepa_tpu.utils.checkpoint import CheckpointManager
+    from avjepa_tpu.utils.torch_import import (
+        encoder_params_to_state_dict,
+        predictor_params_to_state_dict,
+    )
+
+    mngr = CheckpointManager(ckpt_dir)
+    step = mngr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint step under {ckpt_dir!r}")
+    meta = mngr.mngr.item_metadata(step)
+    template = jax.tree_util.tree_map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), meta
+    )
+    state = mngr.restore(template, step)
+    mngr.close()
+
+    def to_torch(sd: dict) -> dict:
+        return {k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
+                for k, v in sd.items()}
+
+    out = {
+        "encoder": to_torch(encoder_params_to_state_dict(state["enc_params"])),
+        "predictor": to_torch(
+            predictor_params_to_state_dict(state["pred_params"])
+        ),
+        "target_encoder": to_torch(
+            encoder_params_to_state_dict(state["target_params"])
+        ),
+        "epoch": int(np.asarray(state["step"])) // max(1, ipe),
+        "loss": 0.0,
+        "batch_size": 0,
+        "world_size": 1,
+        "lr": 0.0,
+    }
+    torch.save(out, out_path)
+    print(f"exported step {int(np.asarray(state['step']))} -> {out_path}")
+    return out_path
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("checkpoint", help="reference .pth.tar path")
-    ap.add_argument("config", help="matching pretrain YAML")
+    ap.add_argument("checkpoint", help="reference .pth.tar (or, with "
+                    "--export, an Orbax checkpoint dir)")
+    ap.add_argument("config", help="matching pretrain YAML (or, with "
+                    "--export, the output .pth.tar path)")
     ap.add_argument("--out-folder", default=None)
     ap.add_argument("--tag", default=None)
+    ap.add_argument("--export", action="store_true",
+                    help="reverse direction: Orbax ckpt dir -> .pth.tar")
+    ap.add_argument("--ipe", type=int, default=1,
+                    help="--export: iterations/epoch for the epoch field")
     args = ap.parse_args(argv)
-    convert(args.checkpoint, args.config, args.out_folder, args.tag)
+    if args.export:
+        export(args.checkpoint, args.config, args.ipe)
+    else:
+        convert(args.checkpoint, args.config, args.out_folder, args.tag)
 
 
 if __name__ == "__main__":

@@ -1,16 +1,14 @@
-"""Long-horizon loss-curve parity vs the reference's training math.
+"""Few-step ViT-L torch-vs-jax training parity (b1, f32, CPU).
 
-Reuses the step-parity harness (tests/test_step_parity.py): reference torch
-models' weights are copied into our state, then BOTH frameworks train for N
-steps on identical data and masks. Prints the per-step losses and the
-running max relative deviation — the evidence behind BASELINE.md's
-"loss curve within 1% of reference" target.
+The small-model parity tests (tests/test_step_parity.py) don't cover
+large-model numerics: the 24-layer depth-rescaled init, uniform-power 3D pos
+embeds at the 224/16 grid, and the d=24 predictor heads. This tool runs the
+SAME harness at full ViT-L AV geometry (16x224^2, N=1664 tokens, batch 1) for
+a few steps on CPU and reports the per-step loss deviation. Slow (~minutes
+per step per side on one core) — run on demand; the result is recorded in
+BENCH.md.
 
-Usage: python tools/parity_curve.py [steps=40] [reg_coeff=0.0]
-
-The schedule is scaled so the warmup->cosine boundary falls at steps/4:
-a long run (e.g. 200 steps) exercises warmup, the boundary, and the cosine
-leg. reg_coeff > 0 adds the variance regularizer on both sides.
+Usage: python tools/parity_vitl.py [steps=2]
 """
 
 from __future__ import annotations
@@ -22,12 +20,11 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 sys.path.insert(0, os.path.join(_REPO, "tests"))
 
-# CPU: the reference side is torch-CPU; keep both sides on the same host math
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 
 
-def main(steps: int = 40, reg_coeff: float = 0.0):
+def main(steps: int = 2):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -36,6 +33,7 @@ def main(steps: int = 40, reg_coeff: float = 0.0):
     import jax.numpy as jnp
 
     import test_step_parity as h
+    from avjepa_tpu.layout import TokenLayout
     from avjepa_tpu.masks import AVMaskCollator
     from avjepa_tpu.models.encoder import Encoder
     from avjepa_tpu.models.predictor import Predictor
@@ -44,7 +42,21 @@ def main(steps: int = 40, reg_coeff: float = 0.0):
     from avjepa_tpu.train.step import StepConfig, make_train_step, stack_masksets
     from reference_bridge import torch_encoder_to_params, torch_predictor_to_params
 
+    # retarget the shared harness at ViT-L AV geometry (the helper functions
+    # read these module globals at call time)
+    h.FRAMES, h.CROP, h.PATCH, h.TUBELET = 16, 224, 16, 2
+    h.EMBED, h.DEPTH, h.HEADS = 1024, 24, 16
+    h.PRED_EMBED, h.PRED_DEPTH = 384, 12
+    h.BATCH = 1
+    h.LAYOUT = TokenLayout(
+        num_frames=h.FRAMES, crop_size=h.CROP, patch_size=h.PATCH,
+        tubelet_size=h.TUBELET,
+    )
+    h.SCHED = dict(h.SCHED, ipe=max(2, steps))
+
+    print("building reference ViT-L models (torch, CPU)...", flush=True)
     enc_t, pred_t, target_t = h.make_ref_models()
+
     encoder = Encoder(layout=h.LAYOUT, embed_dim=h.EMBED, depth=h.DEPTH,
                       num_heads=h.HEADS, uniform_power=True)
     predictor = Predictor(layout=h.LAYOUT, embed_dim=h.EMBED,
@@ -52,58 +64,52 @@ def main(steps: int = 40, reg_coeff: float = 0.0):
                           num_heads=h.HEADS, uniform_power=True,
                           use_mask_tokens=True, num_mask_tokens=2,
                           zero_init_mask_tokens=True)
+    print("copying weights into jax state...", flush=True)
     state = init_state(
         jax.tree_util.tree_map(jnp.asarray, torch_encoder_to_params(enc_t, h.DEPTH)),
         jax.tree_util.tree_map(
             jnp.asarray, torch_predictor_to_params(pred_t, h.PRED_DEPTH)
         ),
     )
-    S = dict(h.SCHED)
-    # warmup (1 epoch) ends at steps/4: the run crosses the warmup->cosine
-    # boundary with room to verify the cosine leg too
-    S["ipe"] = max(2, steps // 4)
+    S = h.SCHED
     sched = ScheduleConfig(
         ipe=S["ipe"], num_epochs=S["num_epochs"], ipe_scale=S["ipe_scale"],
         warmup_epochs=S["warmup_epochs"], start_lr=S["start_lr"],
         ref_lr=S["ref_lr"], final_lr=S["final_lr"], ref_wd=S["ref_wd"],
         final_wd=S["final_wd"], ema_start=S["ema_start"], ema_end=S["ema_end"],
     )
-    step_cfg = StepConfig(loss_exp=1.0, reg_coeff=reg_coeff, clip_grad=None,
+    step_cfg = StepConfig(loss_exp=1.0, reg_coeff=0.1, clip_grad=None,
                           warmup_epochs=S["warmup_epochs"], ipe=S["ipe"])
     step_fn = jax.jit(make_train_step(encoder, predictor, sched, step_cfg))
 
-    rng = np.random.default_rng(42)
+    rng = np.random.default_rng(7)
     videos = [
-        rng.normal(size=(h.BATCH, h.FRAMES, h.CROP, h.CROP, 3)).astype(np.float32)
+        rng.normal(size=(1, h.FRAMES, h.CROP, h.CROP, 3)).astype(np.float32)
         for _ in range(steps)
     ]
     audios = [
-        rng.normal(size=(h.BATCH, 128, 192, 1)).astype(np.float32)
-        for _ in range(steps)
+        rng.normal(size=(1, 128, 192, 1)).astype(np.float32) for _ in range(steps)
     ]
     coll = AVMaskCollator(
         [
+            {"aspect_ratio": [0.75, 1.5], "num_blocks": 8,
+             "spatial_scale": [0.15, 0.15], "temporal_scale": [1.0, 1.0]},
             {"aspect_ratio": [0.75, 1.5], "num_blocks": 2,
-             "spatial_scale": [0.2, 0.2], "temporal_scale": [1.0, 1.0]},
-            {"aspect_ratio": [0.75, 1.5], "num_blocks": 1,
-             "spatial_scale": [0.6, 0.6], "temporal_scale": [1.0, 1.0]},
+             "spatial_scale": [0.7, 0.7], "temporal_scale": [1.0, 1.0]},
         ],
         h.LAYOUT, base_seed=9,
     )
-    all_masks = [coll(h.BATCH) for _ in range(steps)]
+    all_masks = [coll(1) for _ in range(steps)]
     mask_lists = [h.masks_to_index_lists(m) for m in all_masks]
 
-    # the reference schedule objects need the matching horizon too
-    h.SCHED["ipe"] = S["ipe"]
+    print("running reference torch steps...", flush=True)
     ref_losses = h.ref_train_steps(
-        enc_t, pred_t, target_t, videos, audios, mask_lists, reg_coeff=reg_coeff
+        enc_t, pred_t, target_t, videos, audios, mask_lists, reg_coeff=0.1
     )
 
-    jax_losses = []
+    print("running avjepa_tpu jax steps...", flush=True)
     worst = 0.0
-    print(f"{'step':>5} {'reference':>12} {'avjepa_tpu':>12} {'rel dev':>10}")
     for stp in range(steps):
-        # production path: compacted context + compacted predictor
         enc_m, pred_m, idx, union = stack_masksets(all_masks[stp], with_idx=True)
         state, metrics = step_fn(
             state, jnp.asarray(videos[stp]), jnp.asarray(audios[stp]),
@@ -111,17 +117,19 @@ def main(steps: int = 40, reg_coeff: float = 0.0):
             tuple(jnp.asarray(i) for i in idx), jnp.asarray(union),
         )
         lj = float(jax.device_get(metrics["loss"]))
-        jax_losses.append(lj)
         dev = abs(lj - ref_losses[stp]) / max(abs(ref_losses[stp]), 1e-9)
         worst = max(worst, dev)
-        print(f"{stp:>5} {ref_losses[stp]:>12.6f} {lj:>12.6f} {dev:>10.2e}")
-    print(f"max relative deviation over {steps} steps: {worst:.3e}"
-          f" ({'WITHIN' if worst < 0.01 else 'OUTSIDE'} the 1% target)")
+        print(
+            f"step {stp}: ref {ref_losses[stp]:.6f} jax {lj:.6f} "
+            f"rel dev {dev:.2e}",
+            flush=True,
+        )
+    print(
+        f"ViT-L parity over {steps} steps: max rel dev {worst:.3e} "
+        f"({'WITHIN' if worst < 0.01 else 'OUTSIDE'} the 1% target)"
+    )
     return worst
 
 
 if __name__ == "__main__":
-    main(
-        int(sys.argv[1]) if len(sys.argv) > 1 else 40,
-        float(sys.argv[2]) if len(sys.argv) > 2 else 0.0,
-    )
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 2)

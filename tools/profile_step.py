@@ -38,12 +38,13 @@ def capture(model="vit_large", batch=24, steps=3, trace_dir="/tmp/avjepa_trace")
     cfg = load_config(north_star_config(model, batch, tag="profile"))
     handles = pretrain.setup(cfg)
     video, audio, _, masks = next(iter(handles.loader))
-    enc_m, pred_m, idx = stack_masksets(masks, with_idx=True)
+    enc_m, pred_m, idx, union = stack_masksets(masks, with_idx=True)
     dt = jnp.bfloat16
     args = (
         jnp.asarray(video, dt), jnp.asarray(audio, dt),
         jnp.asarray(enc_m), jnp.asarray(pred_m),
         tuple(jnp.asarray(i) for i in idx) if handles.compact else None,
+        jnp.asarray(union) if handles.compact_pred and union is not None else None,
     )
     state = handles.state
     state, m = handles.step_fn(state, *args)

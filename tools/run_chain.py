@@ -1,0 +1,300 @@
+"""One-command full-pipeline chain on real media files, through the real CLIs.
+
+Reproduces the reference's end-to-end user journey (SURVEY §3 call stacks)
+as ONE driver so the whole framework is exercised as a system, not as parts:
+
+  1. media      — generate N real AV clips (native libav encoder,
+                  avjepa_tpu/data/video_decoder.py::write_test_video) plus
+                  train/val index CSVs ("path label" lines, the reference's
+                  CSV layout, src/datasets/audiovideo_dataset.py)
+  2. pretrain   — `python -m avjepa_tpu.app.main --fname pretrain.yaml`
+                  (AV JEPA, process-worker loader over the real files)
+  3. roundtrip  — export the fresh Orbax checkpoint to a reference-format
+                  .pth.tar and re-import it
+                  (tools/convert_reference_checkpoint.py both directions);
+                  assert the re-imported encoder weights match bit-exactly
+  4. video_eval — `python -m avjepa_tpu.app.eval_main` frozen
+                  video-classification probe ON the pretrained checkpoint,
+                  real files, multi-segment/multi-view
+  5. avpred     — avprediction probe app on the frozen pretrained JEPA
+  6. example    — avprediction_example: reconstruction .npz (+ PNG when
+                  matplotlib is available)
+
+Each stage is a subprocess of the real CLI with its log under
+<workdir>/logs/; the driver prints one summary JSON line at the end
+(recorded in BENCH.md). Tiny geometry by default so CI can run it; pass
+--model vit_large --crop 224 --frames 16 --batch 24 for the flagship chain
+on a real chip (`make chain` does).
+
+Usage: python tools/run_chain.py [--workdir DIR] [--clips N] [--model M] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+import yaml
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def sh(stage: str, argv: list[str], workdir: str, env=None) -> float:
+    log = os.path.join(workdir, "logs", f"{stage}.log")
+    os.makedirs(os.path.dirname(log), exist_ok=True)
+    t0 = time.perf_counter()
+    with open(log, "w") as f:
+        rc = subprocess.call(argv, stdout=f, stderr=subprocess.STDOUT,
+                             cwd=_REPO, env=env)
+    dt = time.perf_counter() - t0
+    if rc != 0:
+        tail = open(log).read()[-4000:]
+        raise RuntimeError(f"stage {stage} failed (rc={rc}):\n{tail}")
+    print(f"[chain] {stage}: ok ({dt:.1f}s, log {log})", flush=True)
+    return dt
+
+
+def make_media(workdir: str, n_clips: int, w: int, h: int, frames: int):
+    from avjepa_tpu.data.video_decoder import write_test_video
+
+    d = os.path.join(workdir, "media")
+    os.makedirs(d, exist_ok=True)
+    paths = []
+    for i in range(n_clips):
+        p = os.path.join(d, f"clip{i:04d}.avi")
+        if not os.path.exists(p):  # media generation is resumable
+            write_test_video(p, n_frames=frames + (i % 5) * 8, w=w, h=h,
+                             fps=25.0, with_audio=True)
+        paths.append(p)
+    n_train = max(1, int(0.8 * n_clips))
+    train_csv = os.path.join(d, "train.csv")
+    val_csv = os.path.join(d, "val.csv")
+    with open(train_csv, "w") as f:
+        f.write("".join(f"{p} {i % 3}\n" for i, p in enumerate(paths[:n_train])))
+    with open(val_csv, "w") as f:
+        f.write("".join(
+            f"{p} {(n_train + i) % 3}\n" for i, p in enumerate(paths[n_train:])
+        ))
+    return train_csv, val_csv
+
+
+def last_csv_value(path: str, column: str) -> float:
+    with open(path) as f:
+        header = f.readline().strip().split(",")
+        col = header.index(column)
+        val = None
+        for line in f:
+            parts = line.strip().split(",")
+            if len(parts) > col and parts[col]:
+                val = float(parts[col])
+    return val
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--workdir", default="/tmp/avjepa_chain")
+    ap.add_argument("--clips", type=int, default=100)
+    ap.add_argument("--model", default="vit_tiny")
+    ap.add_argument("--crop", type=int, default=64)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--ipe", type=int, default=20)
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--workers", type=int, default=2)
+    ap.add_argument("--clip-size", type=int, default=160,
+                    help="generated clip frame w=h (transforms resize)")
+    ap.add_argument("--pred-depth", type=int, default=None)
+    ap.add_argument("--pred-embed", type=int, default=None)
+    args = ap.parse_args()
+
+    wd = os.path.abspath(args.workdir)
+    os.makedirs(wd, exist_ok=True)
+    py = sys.executable
+    timings, summary = {}, {}
+
+    # -- 1. media ----------------------------------------------------------
+    t0 = time.perf_counter()
+    train_csv, val_csv = make_media(
+        wd, args.clips, args.clip_size, args.clip_size, max(32, 2 * args.frames)
+    )
+    timings["media"] = time.perf_counter() - t0
+    print(f"[chain] media: {args.clips} real AV clips "
+          f"({timings['media']:.1f}s)", flush=True)
+
+    # -- 2. pretrain -------------------------------------------------------
+    pred_depth = args.pred_depth or (12 if args.model == "vit_large" else 2)
+    pred_embed = args.pred_embed or (384 if args.model == "vit_large" else 64)
+    pre_folder = os.path.join(wd, "pretrain")
+    pretrain_cfg = {
+        "app": "avjepa",
+        "data": {
+            "dataset_type": "audiovideodataset",
+            "datasets": [train_csv],
+            "batch_size": args.batch,
+            "num_frames": args.frames,
+            "tubelet_size": 2,
+            "sampling_rate": 2,
+            "crop_size": args.crop,
+            "patch_size": 16,
+            "num_workers": args.workers,
+        },
+        "mask": [
+            {"aspect_ratio": [0.75, 1.5], "num_blocks": 8,
+             "spatial_scale": [0.15, 0.15], "temporal_scale": [1.0, 1.0]},
+            {"aspect_ratio": [0.75, 1.5], "num_blocks": 2,
+             "spatial_scale": [0.7, 0.7], "temporal_scale": [1.0, 1.0]},
+        ],
+        "meta": {"seed": 0, "dtype": "bfloat16"},
+        "model": {"model_name": args.model, "pred_depth": pred_depth,
+                  "pred_embed_dim": pred_embed, "uniform_power": True,
+                  "use_mask_tokens": True, "zero_init_mask_tokens": True},
+        "optimization": {"ipe": args.ipe, "epochs": args.epochs, "warmup": 1},
+        "logging": {"folder": pre_folder, "write_tag": "chain"},
+        "tpu": {"remat": True, "attn_impl": "flash"},
+    }
+    cfg_path = os.path.join(wd, "pretrain.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(pretrain_cfg, f)
+    timings["pretrain"] = sh(
+        "pretrain", [py, "-m", "avjepa_tpu.app.main", "--fname", cfg_path], wd
+    )
+    ckpt_dir = os.path.join(pre_folder, "chain-ckpt")
+    summary["pretrain_loss"] = last_csv_value(
+        os.path.join(pre_folder, "chain_r0.csv"), "loss"
+    )
+
+    # -- 3. checkpoint roundtrip (ours -> .pth.tar -> ours) ----------------
+    pth = os.path.join(wd, "chain_export.pth.tar")
+    timings["export"] = sh("export", [
+        py, os.path.join(_REPO, "tools", "convert_reference_checkpoint.py"),
+        "--export", ckpt_dir, pth, "--ipe", str(args.ipe),
+    ], wd)
+    timings["reimport"] = sh("reimport", [
+        py, os.path.join(_REPO, "tools", "convert_reference_checkpoint.py"),
+        pth, cfg_path, "--out-folder", os.path.join(wd, "reimport"),
+        "--tag", "chain",
+    ], wd)
+    # bit-exact roundtrip check on the target encoder
+    from avjepa_tpu.evals.video_classification import _leaf_paths
+    from avjepa_tpu.utils.checkpoint import CheckpointManager
+    import jax
+
+    def _target_leaves(d):
+        m = CheckpointManager(d)
+        s = m.latest_step()
+        meta = m.mngr.item_metadata(s)
+        template = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), meta
+        )
+        out = _leaf_paths(m.restore(template, s)["target_params"])
+        m.close()
+        return out
+
+    ours = _target_leaves(ckpt_dir)
+    back = _target_leaves(os.path.join(wd, "reimport", "chain-ckpt"))
+    assert set(ours) == set(back), "roundtrip changed the param set"
+    for k in ours:
+        np.testing.assert_array_equal(np.asarray(ours[k]), np.asarray(back[k]),
+                                      err_msg=f"roundtrip mismatch at {k}")
+    summary["roundtrip_leaves_exact"] = len(ours)
+    print(f"[chain] roundtrip: {len(ours)} target-encoder leaves bit-exact",
+          flush=True)
+
+    # -- 4. frozen video-classification eval on the pretrained ckpt --------
+    eval_folder = os.path.join(wd, "video_eval")
+    eval_cfg = {
+        "eval_name": "video_classification_frozen",
+        "tag": "chain-eval",
+        "data": {
+            "dataset_train": train_csv,
+            "dataset_val": val_csv,
+            "num_classes": 3,
+            "frames_per_clip": args.frames,
+            "num_segments": 2,
+            "num_views_per_segment": 1,
+            "frame_step": 2,
+            "num_workers": args.workers,
+        },
+        "optimization": {
+            "num_epochs": 1,
+            "resolution": args.crop,
+            "batch_size": args.batch,
+            "attend_across_segments": True,
+            "use_bfloat16": True,
+        },
+        "pretrain": {
+            "model_name": args.model,
+            "patch_size": 16,
+            "tubelet_size": 2,
+            "uniform_power": True,
+            "folder": pre_folder,
+            "checkpoint": "chain-ckpt",
+        },
+        "folder": eval_folder,
+    }
+    eval_path = os.path.join(wd, "video_eval.yaml")
+    with open(eval_path, "w") as f:
+        yaml.safe_dump(eval_cfg, f)
+    timings["video_eval"] = sh(
+        "video_eval",
+        [py, "-m", "avjepa_tpu.app.eval_main", "--fname", eval_path], wd,
+    )
+    summary["eval_train_acc"] = last_csv_value(
+        os.path.join(eval_folder, "chain-eval_r0.csv"), "acc"
+    )
+    import re
+
+    ev_log = open(os.path.join(wd, "logs", "video_eval.log")).read()
+    m = re.findall(r"val top-1: ([\d.]+)", ev_log)
+    if m:
+        summary["eval_val_top1"] = float(m[-1])
+
+    # -- 5. avprediction probe on the frozen pretrained JEPA ---------------
+    ap_folder = os.path.join(wd, "avpred")
+    ap_cfg = dict(pretrain_cfg)
+    ap_cfg["app"] = "avprediction"
+    ap_cfg["data"] = dict(pretrain_cfg["data"], batch_size=max(2, args.batch // 2))
+    ap_cfg["meta"] = dict(pretrain_cfg["meta"], read_checkpoint=ckpt_dir)
+    ap_cfg["optimization"] = {"ipe": max(4, args.ipe // 4), "epochs": 1,
+                              "warmup": 1}
+    ap_cfg["logging"] = {"folder": ap_folder, "write_tag": "chain"}
+    ap_path = os.path.join(wd, "avpred.yaml")
+    with open(ap_path, "w") as f:
+        yaml.safe_dump(ap_cfg, f)
+    timings["avpred"] = sh(
+        "avpred", [py, "-m", "avjepa_tpu.app.main", "--fname", ap_path], wd
+    )
+    summary["avpred_loss"] = last_csv_value(
+        os.path.join(ap_folder, "chain_probe_r0.csv"), "loss"
+    )
+
+    # -- 6. avprediction_example (reconstruction npz/PNG) -------------------
+    ex_cfg = dict(ap_cfg)
+    ex_cfg["app"] = "avprediction_example"
+    ex_path = os.path.join(wd, "example.yaml")
+    with open(ex_path, "w") as f:
+        yaml.safe_dump(ex_cfg, f)
+    timings["example"] = sh(
+        "example", [py, "-m", "avjepa_tpu.app.main", "--fname", ex_path], wd
+    )
+    npz = os.path.join(ap_folder, "avprediction_example.npz")
+    assert os.path.exists(npz), "example stage produced no npz"
+    summary["example_npz"] = npz
+    png = os.path.join(ap_folder, "avprediction_example.png")
+    if os.path.exists(png):
+        summary["example_png"] = png
+
+    summary["timings_s"] = {k: round(v, 1) for k, v in timings.items()}
+    summary["model"] = args.model
+    summary["clips"] = args.clips
+    print(json.dumps({"chain": summary}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
