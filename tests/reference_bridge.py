@@ -31,7 +31,13 @@ def disable_sdpa(module):
 
 
 def t2n(t):
-    return t.detach().cpu().numpy()
+    # copy=True is load-bearing: .numpy() shares memory with the torch
+    # parameter storage, and jnp.asarray on the CPU backend is zero-copy for
+    # aligned arrays — without the copy, a jax state built from these views
+    # ALIASES the live torch weights, and any later torch opt.step() mutates
+    # the "initial" jax params in place (this silently polluted long-horizon
+    # parity runs that train the torch side first).
+    return np.array(t.detach().cpu().numpy(), copy=True)
 
 
 def _numpy_sd(ref_model) -> dict:

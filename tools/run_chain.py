@@ -129,7 +129,9 @@ def main():
 
     # -- 2. pretrain -------------------------------------------------------
     pred_depth = args.pred_depth or (12 if args.model == "vit_large" else 2)
-    pred_embed = args.pred_embed or (384 if args.model == "vit_large" else 64)
+    # 96 divides every backbone head count (vit_tiny has 3 heads and the
+    # predictor reuses the backbone head count)
+    pred_embed = args.pred_embed or (384 if args.model == "vit_large" else 96)
     pre_folder = os.path.join(wd, "pretrain")
     pretrain_cfg = {
         "app": "avjepa",
