@@ -11,9 +11,11 @@ import yaml
 
 
 def launch(fname: str) -> None:
+    from avjepa_tpu.parallel.mesh import init_distributed
     from avjepa_tpu.registry import eval_main
     from avjepa_tpu.utils.logging import get_logger
 
+    init_distributed()
     import jax
 
     logger = get_logger(rank=jax.process_index())

@@ -31,7 +31,39 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def init_distributed() -> None:
     """Multi-host init (no-op on single host). Reference used SLURM env +
-    NCCL rendezvous; jax.distributed discovers TPU topology natively."""
+    NCCL rendezvous; jax.distributed discovers TPU topology natively.
+
+    Also enables JAX's persistent compilation cache: mask churn re-specializes
+    the step over K-bucket combinations, and without the disk cache every
+    combination re-pays a full XLA compile on each NEW process (the first
+    real-data chain run spent ~70% of its first epoch compiling). Opt out
+    with AVJEPA_COMPILE_CACHE=0 or point it elsewhere via
+    JAX_COMPILATION_CACHE_DIR."""
+    if int(os.environ.get("AVJEPA_COMPILE_CACHE", "1")):
+        root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        plat = (os.environ.get("JAX_PLATFORM_NAME")
+                or os.environ.get("JAX_PLATFORMS") or "")
+        if "cpu" in plat:
+            # XLA:CPU AOT executables target the compiling host's ISA but
+            # the cache key omits it — sharing a dir across hosts SIGABRTs
+            # on load. Key the CPU cache by a host-feature fingerprint
+            # (same scheme as tests/conftest.py).
+            import hashlib
+            import platform as _platform
+            try:
+                with open("/proc/cpuinfo") as f:
+                    cpu = [l for l in f if l.startswith("flags")][0]
+            except (OSError, IndexError):
+                cpu = _platform.processor() or _platform.machine()
+            fp = hashlib.sha1(cpu.encode()).hexdigest()[:10]
+            default = os.path.join(root, f".jax_cache_cpu_{fp}")
+        else:
+            default = os.path.join(root, ".jax_cache")
+        cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", default)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     if int(os.environ.get("AVJEPA_MULTIHOST", "0")):
         jax.distributed.initialize()
 

@@ -47,6 +47,14 @@ DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.bfloa
 
 def build_models(cfg: ExperimentConfig, layout):
     dtype = DTYPES[cfg.meta.dtype]
+    if cfg.meta.dtype == "float16":
+        # reference configs may say float16 (torch AMP + GradScaler); TPU has
+        # no fp16 compute path, and bf16's range needs no loss scaling —
+        # reference: app/avjepa/train.py mixed-precision setup
+        get_logger().warning(
+            "meta.dtype float16 runs as bfloat16 on TPU (no GradScaler "
+            "needed; see COVERAGE.md)"
+        )
     encoder = make_encoder(
         cfg.model.model_name,
         layout,
