@@ -97,6 +97,14 @@ class ShardedSampler:
         if total > len(order):
             order = np.concatenate([order, order[: total - len(order)]])
         shard = order[self.shard_index :: self.num_shards]
+        if not self.drop_last and len(shard) % self.batch_size:
+            # wrap-pad the final partial batch to full size (same
+            # DistributedSampler semantics as the shard padding above: a few
+            # samples evaluate twice, every sample evaluates at least once,
+            # and the jitted step keeps its static batch shape). Without
+            # this, a val set smaller than one batch yields ZERO batches.
+            pad = self.batch_size - len(shard) % self.batch_size
+            shard = np.concatenate([shard, shard[:pad]])
         nb = len(shard) // self.batch_size
         for i in range(nb):
             yield shard[i * self.batch_size : (i + 1) * self.batch_size]

@@ -343,7 +343,9 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
         if max_steps is not None and total >= max_steps:
             break
 
-    val_sampler = ShardedSampler(len(val_ds), local_batch, shuffle=False)
+    val_sampler = ShardedSampler(
+        len(val_ds), local_batch, shuffle=False, drop_last=False
+    )
     val_loader = JepaLoader(
         val_ds, val_sampler, num_workers=cfg.num_workers, collate=collate
     )

@@ -552,7 +552,9 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
     ckpt.close()
 
     # validation: average softmax over segments x views
-    val_sampler = ShardedSampler(len(val_ds), local_batch, shuffle=False, seed=0)
+    val_sampler = ShardedSampler(
+        len(val_ds), local_batch, shuffle=False, seed=0, drop_last=False
+    )
     val_loader = JepaLoader(
         val_ds, val_sampler, num_workers=cfg.num_workers, collate=collate
     )

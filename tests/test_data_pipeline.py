@@ -262,3 +262,29 @@ def test_video_transform_class_family():
     assert np.allclose(g[..., 0], g[..., 1])
     cj = vt.color_jitter(clip, rng, 0.4, 0.4, 0.4)
     assert cj.shape == clip.shape
+
+
+def test_sharded_sampler_no_drop_last_small_val():
+    """drop_last=False wrap-pads the final partial batch: a val set SMALLER
+    than one batch must still yield one (full, wrap-padded) batch — with
+    drop_last it yielded zero and the eval reported 0% on small val CSVs."""
+    from avjepa_tpu.data.loader import ShardedSampler
+
+    s = ShardedSampler(20, 24, shuffle=False, num_shards=1, shard_index=0,
+                       drop_last=False)
+    batches = list(s)
+    assert len(batches) == 1 and len(batches[0]) == 24
+    # every sample appears; the pad wraps from the front
+    assert set(batches[0]) == set(range(20))
+    np.testing.assert_array_equal(batches[0][20:], [0, 1, 2, 3])
+
+    # non-divisible larger set: all samples covered, static batch shape kept
+    s = ShardedSampler(50, 16, shuffle=False, num_shards=1, shard_index=0,
+                       drop_last=False)
+    batches = list(s)
+    assert [len(b) for b in batches] == [16, 16, 16, 16]
+    assert set(np.concatenate(batches)) == set(range(50))
+
+    # drop_last=True (train) behavior unchanged
+    s = ShardedSampler(20, 24, shuffle=False, num_shards=1, shard_index=0)
+    assert list(s) == []
