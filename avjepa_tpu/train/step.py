@@ -44,6 +44,31 @@ class StepConfig:
     eps: float = 1e-8
 
 
+def cast_dense_params(tree, dtype):
+    """Pre-cast the block-stack Dense params (qkv/proj/fc1/fc2, under
+    attn/mlp/xattn module segments) to the compute dtype.
+
+    flax's ``promote_dtype`` casts Dense kernels/biases to the module compute
+    dtype at every use anyway, so this is bit-identical — but doing it ONCE on
+    the stacked ``[L, ...]`` arrays hoists the f32->bf16 converts (and, in the
+    backward, the bf16->f32 grad converts) out of the layer scan: the scan's
+    per-layer dW dynamic-update-slice writes then move half the bytes (bf16)
+    and the f32 convert runs once on the whole stack. LayerNorm params are
+    excluded: flax LN multiplies scale/bias at their stored dtype inside the
+    f32 normalization, so casting those WOULD change numerics.
+    """
+    if dtype == jnp.float32:
+        return tree
+
+    def leaf(path, x):
+        keys = {str(getattr(k, "key", k)) for k in path}
+        if x.dtype == jnp.float32 and keys & {"attn", "mlp", "xattn"}:
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map_with_path(leaf, tree)
+
+
 def feature_layer_norm(h: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Parameter-free LN over the feature dim (torch F.layer_norm default eps).
 
@@ -84,6 +109,12 @@ def make_train_step(
                 pred_masks, enc_idx, union_idx, step):
         num_cfgs = enc_masks.shape[0]
         n = enc_masks.shape[2]
+
+        # hoist the block-stack Dense casts out of the layer scans (see
+        # cast_dense_params — bit-identical, halves the scan-bwd dW traffic)
+        enc_params = cast_dense_params(enc_params, encoder.dtype)
+        pred_params = cast_dense_params(pred_params, predictor.dtype)
+        target_params = cast_dense_params(target_params, encoder.dtype)
 
         # target: full-sequence EMA encoder, feature-dim LN, no gradients
         h = encoder.apply({"params": target_params}, video, audio)
@@ -250,18 +281,25 @@ def make_train_step(
             "opt_mu_abs": _tree_abs_mean(enc_opt.mu),
             "opt_nu_abs": _tree_abs_mean(enc_opt.nu),
             # input-variance diagnostics (reference: train.py:560-563); f32
-            # accumulation — the video itself may arrive as bf16
-            "input_var": jnp.mean(
-                jnp.var(video.reshape(video.shape[0], -1).astype(jnp.float32), axis=1)
-            ),
-            "input_var_min": jnp.min(
-                jnp.var(video.reshape(video.shape[0], -1).astype(jnp.float32), axis=1)
-            ),
+            # accumulation — the video itself may arrive as bf16. Reduce over
+            # the trailing axes directly (no flatten: reshaping the tiled
+            # video layout forced a 4 ms relayout copy of the f32 batch)
+            "input_var": jnp.mean(_per_sample_var(video)),
+            "input_var_min": jnp.min(_per_sample_var(video)),
             "mask_sizes": jnp.sum(enc_masks[:, 0, :], axis=1).astype(jnp.float32),
         }
         return new_state, metrics
 
     return train_step
+
+
+def _per_sample_var(video: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample variance over all non-batch axes, f32 accumulation, without
+    flattening (XLA fuses the convert into the multi-axis reduce; a reshape
+    would force a relayout copy of the whole f32 batch)."""
+    axes = tuple(range(1, video.ndim))
+    v = video.astype(jnp.float32)
+    return jnp.var(v, axis=axes)
 
 
 def _named_leaves(tree):

@@ -12,9 +12,19 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in flags:
+    # the in-process CPU collective rendezvous CHECK-aborts the whole pytest
+    # process if any participant is starved past the (short) default
+    # terminate timeout — which happens routinely on few-core CI hosts where
+    # an XLA compile of the next test's step hogs the machine while another
+    # executable's all-gather waits. Slow is fine; SIGABRT is not.
+    flags = (
+        flags
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
     ).strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 

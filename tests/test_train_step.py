@@ -232,3 +232,35 @@ def test_flash_step_matches_xla(tmp_path):
     gx = float(jax.device_get(mx["enc_grad_norm"]))
     gf = float(jax.device_get(mf["enc_grad_norm"]))
     assert abs(gx - gf) / max(gx, 1e-9) < 1e-2, (gx, gf)
+
+
+def test_cast_hoist_forward_bit_identical(tmp_path, monkeypatch):
+    """The block-stack Dense pre-cast (train/step.py::cast_dense_params) is
+    bit-identical on the FORWARD path to flax's internal per-layer
+    promote_dtype casts on a bf16 model — it only moves WHERE the f32->bf16
+    cast happens. Gradients may differ by bf16 rounding: with the hoist the
+    dW stack is materialized in bf16 (matching torch-AMP, whose dot backward
+    also rounds dW through bf16) where XLA previously fused the f32 convert
+    into the per-layer dW dot."""
+    import avjepa_tpu.train.step as step_mod
+
+    cfg = make_cfg(tmp_path, **{"meta.dtype": "bfloat16", "data.batch_size": 2})
+    h1 = pretrain.setup(cfg)
+    video, audio, _, masks = next(iter(h1.loader))
+    s1, m1 = h1.step(h1.state, video, audio, masks)
+
+    monkeypatch.setattr(step_mod, "cast_dense_params", lambda tree, dtype: tree)
+    h2 = pretrain.setup(cfg)
+    s2, m2 = h2.step(h2.state, video, audio, masks)
+
+    # identical forward: loss is a pure function of the (identically cast)
+    # params and inputs
+    assert float(jax.device_get(m1["loss"])) == float(jax.device_get(m2["loss"]))
+    # params after one AdamW step agree to bf16-rounding of the gradients
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(s1.enc_params)),
+        jax.tree_util.tree_leaves(jax.device_get(s2.enc_params)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=5e-4
+        )
