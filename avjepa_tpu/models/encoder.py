@@ -91,12 +91,22 @@ class BlockStack(nn.Module):
                 prevent_cse=False,
                 policy=jax.checkpoint_policies.save_only_these_names(*names),
             )
+        import os
+
+        # Perf experiment knobs (see BENCH.md): partially unrolling the layer
+        # scan lets XLA fuse the backward's per-layer dW dynamic-update-slice
+        # writes across iterations; _split_transpose runs the scan transpose
+        # as two loops, decoupling dW stacking from activation-grad flow.
+        unroll = int(os.environ.get("AVJEPA_SCAN_UNROLL", "1"))
+        split_t = os.environ.get("AVJEPA_SCAN_SPLIT_TRANSPOSE", "0") == "1"
         scanned = nn.scan(
             block_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=nn.broadcast,
             length=self.depth,
+            unroll=unroll,
+            _split_transpose=split_t,
         )(
             dim=self.dim,
             num_heads=self.num_heads,

@@ -54,7 +54,7 @@ def test_sigterm_checkpoints_and_resume(tmp_path):
     )
     # wait for a few training iterations, then preempt
     saw_loss = 0
-    deadline = time.time() + 600
+    deadline = time.time() + 1200
     for line in proc.stdout:
         if "loss:" in line:
             saw_loss += 1
@@ -83,7 +83,7 @@ def test_sigterm_checkpoints_and_resume(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     resumed = False
-    deadline = time.time() + 600
+    deadline = time.time() + 1200
     for line in proc2.stdout:
         if f"resumed from step {max(steps)}" in line:
             resumed = True
