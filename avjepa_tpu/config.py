@@ -147,6 +147,22 @@ class TpuConfig:
 
 
 @dataclasses.dataclass
+class ExtractConfig:
+    """Frozen-encoder feature-extraction app (``app: extract``) — a TPU-build
+    extension; the reference ships NO inference entry point (using a
+    pretrained checkpoint downstream means hand-writing a torch script
+    against its model classes)."""
+
+    output: Optional[str] = None  # default: <logging.folder>/<write_tag>-features
+    pooling: str = "mean"  # 'mean' -> one [D] vector per clip; 'tokens' -> [N, D]
+    use_target_encoder: bool = True  # read target_params (EMA) vs enc_params
+    layer_norm: bool = True  # feature-dim LN, matching the target path
+    limit: Optional[int] = None  # cap extracted rows (debug/CI)
+    allow_random: bool = False  # permit running without a checkpoint
+    chunk_rows: int = 2048  # rows per output shard in 'tokens' mode
+
+
+@dataclasses.dataclass
 class ExperimentConfig:
     app: str = "avjepa"
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
@@ -157,6 +173,7 @@ class ExperimentConfig:
     optimization: OptimizationConfig = dataclasses.field(default_factory=OptimizationConfig)
     logging: LoggingConfig = dataclasses.field(default_factory=LoggingConfig)
     tpu: TpuConfig = dataclasses.field(default_factory=TpuConfig)
+    extract: ExtractConfig = dataclasses.field(default_factory=ExtractConfig)
     mask: Sequence[dict] = dataclasses.field(default_factory=list)
     raw: dict = dataclasses.field(default_factory=dict, repr=False)
 
@@ -194,6 +211,15 @@ class ExperimentConfig:
         assert len(self.optimization.ema) == 2
         if self.app in ("avjepa", "vjepa"):
             assert len(self.mask) >= 1, "pretraining requires >=1 mask config"
+        if self.app == "extract":
+            assert self.extract.pooling in ("mean", "tokens"), (
+                f"extract.pooling must be 'mean' or 'tokens', "
+                f"got {self.extract.pooling!r}"
+            )
+            assert self.data.num_clips == 1, (
+                "extract supports num_clips == 1 (one embedding per clip); "
+                "run multiple passes with different sampling for segments"
+            )
 
 
 def _build(cls, d: dict):
@@ -241,6 +267,7 @@ def load_config(source: str | dict) -> ExperimentConfig:
         optimization=_build(OptimizationConfig, opt),
         logging=_build(LoggingConfig, logging_d),
         tpu=_build(TpuConfig, d.get("tpu")),
+        extract=_build(ExtractConfig, d.get("extract")),
         mask=list(d.get("mask") or []),
         raw=d,
     )

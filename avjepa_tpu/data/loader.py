@@ -104,7 +104,10 @@ class ShardedSampler:
             # and the jitted step keeps its static batch shape). Without
             # this, a val set smaller than one batch yields ZERO batches.
             pad = self.batch_size - len(shard) % self.batch_size
-            shard = np.concatenate([shard, shard[:pad]])
+            # np.resize wraps cyclically — shard[:pad] alone under-pads (and
+            # yields ZERO batches) whenever the shard is smaller than half a
+            # batch, e.g. a 10-row extract/val set at global batch 32
+            shard = np.resize(shard, len(shard) + pad)
         nb = len(shard) // self.batch_size
         for i in range(nb):
             yield shard[i * self.batch_size : (i + 1) * self.batch_size]
@@ -219,6 +222,8 @@ class JepaLoader:
                     continue
             return False
 
+        error: list = []
+
         def producer():
             try:
                 for indices in self.sampler:
@@ -226,6 +231,11 @@ class JepaLoader:
                         return
                     if not put_or_stop(self._assemble(indices)):
                         return
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                # surface producer failures to the consumer instead of
+                # silently ending the epoch (a daemon-thread traceback is
+                # invisible and an empty epoch looks like an empty dataset)
+                error.append(e)
             finally:
                 # deliver the end-of-epoch sentinel through the stop-aware
                 # blocking helper: the queue is typically full here while the
@@ -239,6 +249,8 @@ class JepaLoader:
             while True:
                 item = q.get()
                 if item is None:
+                    if error:
+                        raise error[0]
                     return
                 yield item
         finally:

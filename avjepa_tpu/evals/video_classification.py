@@ -222,7 +222,8 @@ def _leaf_paths(tree):
 
 
 def load_target_encoder_params(
-    ckpt_dir: str, video_params_like, strict: bool = False
+    ckpt_dir: str, video_params_like, strict: bool = False,
+    prefer: str = "target_params",
 ):
     """Load the pretraining checkpoint's target-encoder subtree into a
     video-only encoder param tree.
@@ -258,8 +259,8 @@ def load_target_encoder_params(
     restored = mngr.restore(template, step)
     mngr.close()
     src = (
-        restored["target_params"]
-        if isinstance(restored, dict) and "target_params" in restored
+        restored[prefer]
+        if isinstance(restored, dict) and prefer in restored
         else restored
     )
 

@@ -34,11 +34,20 @@ def _avprediction_example(args: dict, resume_preempt: bool = False):
     return example_main(args, resume_preempt)
 
 
+def _extract(args: dict, resume_preempt: bool = False):
+    from avjepa_tpu.serve.extract import main
+
+    return main(args, resume_preempt)
+
+
 APPS: dict[str, Callable] = {
     "avjepa": _avjepa,
     "vjepa": _vjepa,
     "avprediction": _avprediction,
     "avprediction_example": _avprediction_example,
+    # TPU-build extension: frozen-encoder feature extraction / serving
+    # (the reference has no inference entry point)
+    "extract": _extract,
 }
 
 
