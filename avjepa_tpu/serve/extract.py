@@ -268,10 +268,13 @@ def main(args: dict, resume_preempt: bool = False) -> dict:
             idx_dev = jnp.asarray(idx_np)
         out, idx_out = encode(enc_params, video, audio_np, idx_dev)
         out, idx_out = np.asarray(out), np.asarray(idx_out)
+        # the replicated outputs carry the GLOBAL batch; each host persists
+        # only its own sampler shard's rows (per-host output shards)
+        local_rows = {int(i) for i in idx_np}
         for row, emb in zip(idx_out, out):
             row = int(row)
-            if row >= n_total or written[row]:
-                continue  # wrap-padded duplicate
+            if row not in local_rows or row >= n_total or written[row]:
+                continue  # other host's row or wrap-padded duplicate
             written[row] = True
             if ex.pooling == "mean":
                 mean_rows[row] = emb

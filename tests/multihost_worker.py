@@ -250,6 +250,42 @@ def run_golden(jax, outdir: str) -> dict:
     return {"pid": 0, "losses": losses}
 
 
+def run_extract(jax, pid: int, nprocs: int, outdir: str) -> dict:
+    """The extract (serving) app's ``process_count > 1`` branch: per-process
+    batch contribution via put_batch, replicated (embedding, index) outputs,
+    per-host output shards."""
+    from avjepa_tpu.registry import app_main
+
+    d = {
+        "app": "extract",
+        "meta": {"seed": 3, "dtype": "float32"},
+        "data": {
+            "source": "synthetic",
+            "dataset_type": "audiovideodataset",
+            "batch_size": 1,  # per chip; global 8 over 2 hosts x 4 devices
+            "num_frames": 4,
+            "tubelet_size": 2,
+            "crop_size": 32,
+            "patch_size": 16,
+            "num_workers": 1,
+        },
+        "model": {"model_name": "vit_tiny"},
+        "extract": {
+            "pooling": "mean",
+            "allow_random": True,
+            "limit": 12,
+            "output": os.path.join(outdir, "features"),
+        },
+        "logging": {"folder": os.path.join(outdir, "logs"), "write_tag": "xmh"},
+    }
+    summary = app_main("extract", d)
+    return {
+        "pid": pid,
+        "process_count": jax.process_count(),
+        **summary,
+    }
+
+
 def main():
     # watchdog: if a phase wedges, dump all thread stacks every 5 min so the
     # parent's captured output shows WHERE (compile, collective, loader, ...)
@@ -267,6 +303,8 @@ def main():
     jax = _configure_jax(nprocs, pid, port)
     if mode == "golden":
         result = run_golden(jax, outdir)
+    elif mode == "extract":
+        result = run_extract(jax, pid, nprocs, outdir)
     else:
         result = run_multiproc(jax, pid, nprocs, outdir)
     os.makedirs(outdir, exist_ok=True)

@@ -113,3 +113,34 @@ def test_cross_host_sampler_and_collator_discipline(multihost_results):
     s0, s1 = set(r0["sampler_indices"]), set(r1["sampler_indices"])
     assert s0.isdisjoint(s1)
     assert len(r0["sampler_indices"]) == len(r1["sampler_indices"])
+
+
+def test_two_process_extract_shards_and_matches_single(tmp_path):
+    """The extract app under TRUE process_count == 2: per-host output shards
+    jointly cover the dataset exactly once, and every embedding matches the
+    single-process run bit-for-row (put_batch row alignment + replicated
+    outputs are host-placement-invariant)."""
+    outdir = str(tmp_path / "mh")
+    port = _free_port()
+    procs = [_launch(pid, 2, port, outdir, "extract") for pid in range(2)]
+    for p in procs:
+        _wait(p, timeout=1800)
+    single_dir = str(tmp_path / "single")
+    single = _launch(0, 1, _free_port(), single_dir, "extract")
+    _wait(single, timeout=1800)
+
+    shards = [
+        np.load(os.path.join(outdir, "features", f"features_r{r}.npz"))
+        for r in range(2)
+    ]
+    rows = {}
+    for z in shards:
+        for i, e in zip(z["indices"], z["embeddings"]):
+            assert int(i) not in rows, "row written by both hosts"
+            rows[int(i)] = e
+    assert sorted(rows) == list(range(12))
+
+    zs = np.load(os.path.join(single_dir, "features", "features_r0.npz"))
+    assert sorted(zs["indices"].tolist()) == list(range(12))
+    for i, e in zip(zs["indices"], zs["embeddings"]):
+        np.testing.assert_allclose(rows[int(i)], e, rtol=1e-5, atol=1e-6)

@@ -292,6 +292,32 @@ def main():
     if os.path.exists(png):
         summary["example_png"] = png
 
+    # -- 7. extract: serve the pretrained encoder (embeddings + index) -----
+    x_folder = os.path.join(wd, "extract")
+    x_cfg = {
+        "app": "extract",
+        "data": dict(pretrain_cfg["data"], datasets=[val_csv]),
+        "meta": {"seed": 0, "dtype": "bfloat16", "read_checkpoint": ckpt_dir},
+        "model": pretrain_cfg["model"],
+        "extract": {"pooling": "mean"},
+        "logging": {"folder": x_folder, "write_tag": "chain"},
+        "tpu": {"attn_impl": pretrain_cfg["tpu"]["attn_impl"]},
+    }
+    x_path = os.path.join(wd, "extract.yaml")
+    with open(x_path, "w") as f:
+        yaml.safe_dump(x_cfg, f)
+    timings["extract"] = sh(
+        "extract", [py, "-m", "avjepa_tpu.app.main", "--fname", x_path], wd
+    )
+    import numpy as np
+
+    feats = np.load(
+        os.path.join(x_folder, "chain-features", "features_r0.npz")
+    )
+    assert len(feats["indices"]) == len(set(feats["indices"].tolist()))
+    summary["extract_rows"] = int(len(feats["indices"]))
+    summary["extract_dim"] = int(feats["embeddings"].shape[1])
+
     summary["timings_s"] = {k: round(v, 1) for k, v in timings.items()}
     summary["model"] = args.model
     summary["clips"] = args.clips
