@@ -177,3 +177,27 @@ def test_all_prediction_probes_smoke():
             out = out[0]  # (video, audio) tuple
         assert out.shape == (b, lo.num_frames, lo.crop_size, lo.crop_size, 3), (
             name, out.shape)
+
+
+def test_scan_knobs_bit_identical(monkeypatch):
+    """AVJEPA_SCAN_UNROLL / AVJEPA_SCAN_SPLIT_TRANSPOSE are perf knobs only:
+    the block-stack forward is bit-identical under them."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from avjepa_tpu.models.encoder import BlockStack
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 32)), jnp.float32)
+
+    def fwd():
+        stack = BlockStack(depth=3, dim=32, num_heads=4)
+        params = stack.init(jax.random.key(1), x)
+        return np.asarray(stack.apply(params, x))
+
+    base = fwd()
+    monkeypatch.setenv("AVJEPA_SCAN_UNROLL", "3")
+    np.testing.assert_array_equal(fwd(), base)
+    monkeypatch.setenv("AVJEPA_SCAN_UNROLL", "1")
+    monkeypatch.setenv("AVJEPA_SCAN_SPLIT_TRANSPOSE", "1")
+    np.testing.assert_array_equal(fwd(), base)

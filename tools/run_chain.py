@@ -309,8 +309,6 @@ def main():
     timings["extract"] = sh(
         "extract", [py, "-m", "avjepa_tpu.app.main", "--fname", x_path], wd
     )
-    import numpy as np
-
     feats = np.load(
         os.path.join(x_folder, "chain-features", "features_r0.npz")
     )
