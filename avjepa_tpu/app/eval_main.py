@@ -1,11 +1,15 @@
 """Eval CLI: ``python -m avjepa_tpu.app.eval_main --fname eval_cfg.yaml``.
 
-Reference parity: evals/main.py (--fname, eval_name key dispatch).
+Reference parity: evals/main.py (--fname, eval_name key dispatch). Setting
+``AVJEPA_RESUME_PREEMPT=1`` resumes the probe classifier from its own
+checkpoint (the reference's submitit resume_preempt,
+evals/main_distributed.py).
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 
 import yaml
 
@@ -22,8 +26,11 @@ def launch(fname: str) -> None:
     with open(fname) as f:
         params = yaml.safe_load(f)
     eval_name = params.get("eval_name")
+    resume_preempt = bool(int(os.environ.get("AVJEPA_RESUME_PREEMPT", "0")))
+    if resume_preempt:
+        logger.info("AVJEPA_RESUME_PREEMPT=1: resuming probe classifier")
     logger.info(f"running eval '{eval_name}'")
-    eval_main(eval_name, params)
+    eval_main(eval_name, params, resume_preempt=resume_preempt)
 
 
 if __name__ == "__main__":

@@ -45,7 +45,8 @@ from avjepa_tpu.train.optim import (
     lr_at_step,
     wd_mask,
 )
-from avjepa_tpu.utils.logging import AverageMeter, get_logger
+from avjepa_tpu.utils.checkpoint import CheckpointManager
+from avjepa_tpu.utils.logging import AverageMeter, CSVLogger, get_logger
 
 
 @dataclasses.dataclass
@@ -71,6 +72,11 @@ class ImageEvalConfig:
     uniform_power: bool = True
     checkpoint: str = ""
     allow_missing_checkpoint: bool = False
+    # resume the probe classifier from its own checkpoint — opt-in like the
+    # reference (eval.py:106), or forced by preemption resume
+    resume_checkpoint: bool = False
+    folder: str = "./eval_logs"
+    tag: str = "image-eval"
     seed: int = 0
     source: str = "files"
     # must match the GELU the checkpoint was pretrained with (tpu.gelu)
@@ -103,6 +109,9 @@ def config_from_yaml(d: dict) -> ImageEvalConfig:
         uniform_power=pre.get("uniform_power", True),
         checkpoint=os.path.join(pre.get("folder", ""), pre.get("checkpoint", "")),
         allow_missing_checkpoint=pre.get("allow_missing_checkpoint", False),
+        resume_checkpoint=opt.get("resume_checkpoint", False),
+        folder=d.get("folder", d.get("logging", {}).get("folder", "./eval_logs")),
+        tag=d.get("tag", "image-eval"),
         source=data.get("source", "files"),
         gelu=d.get("tpu", {}).get("gelu", pre.get("gelu", "tanh")),
     )
@@ -317,6 +326,33 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
 
     opt = adamw_init(cls_params)
     step = jnp.zeros((), jnp.int32)
+
+    # classifier-only checkpointing + resume (reference saves the probe every
+    # epoch and resumes it, evals/image_classification_frozen/eval.py:216-259)
+    os.makedirs(cfg.folder, exist_ok=True)
+    ckpt = CheckpointManager(os.path.join(cfg.folder, f"{cfg.tag}-cls-ckpt"))
+    start_epoch = 0
+    template = {"cls": jax.device_get(cls_params), "opt": jax.device_get(opt),
+                "step": np.zeros((), np.int32), "epoch": np.zeros((), np.int32)}
+    restored = None
+    if cfg.resume_checkpoint:  # opt-in / preemption resume (reference :106)
+        try:
+            restored = ckpt.restore(template)
+        except Exception:
+            # stale/shape-mismatched checkpoint (e.g. different num_classes):
+            # start fresh, like the reference's shape-tolerant load
+            restored = None
+    if restored is not None:
+        cls_params = jax.device_put(restored["cls"])
+        opt = jax.device_put(restored["opt"])
+        step = jnp.asarray(restored["step"], jnp.int32)
+        start_epoch = int(restored["epoch"])
+        logger.info(f"resumed classifier at epoch {start_epoch}")
+
+    csv_logger = CSVLogger(
+        os.path.join(cfg.folder, f"{cfg.tag}_r{jax.process_index()}.csv"),
+        ("%d", "epoch"), ("%d", "itr"), ("%.5f", "loss"), ("%.3f", "acc"),
+    )
     sampler = ShardedSampler(len(train_ds), local_batch, seed=cfg.seed)
     # worker-pool + prefetch + retry-resample pipeline (pretrain loader
     # machinery; a corrupt image is resampled, decode overlaps device steps)
@@ -325,7 +361,7 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
     )
     summary = {}
     total = 0
-    for epoch in range(cfg.num_epochs):
+    for epoch in range(start_epoch, cfg.num_epochs):
         train_loader.set_epoch(epoch)
         meter = AverageMeter()
         for imgs, labels in train_loader:
@@ -334,14 +370,25 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
                 cls_params, opt, step, feats, put_batch(mesh, labels)
             )
             step = step + 1
-            meter.update(float(jax.device_get(m["acc"])) * 100)
+            m = jax.device_get(m)
+            meter.update(float(m["acc"]) * 100)
+            csv_logger.log(epoch + 1, total, float(m["loss"]), float(m["acc"]) * 100)
             total += 1
             if max_steps is not None and total >= max_steps:
                 break
         logger.info(f"[image-eval {epoch + 1}] top1(train) {meter.avg:.2f}%")
         summary["train_acc"] = meter.avg
+        # every process calls save: Orbax syncs globally (a proc-0-only guard
+        # deadlocks multi-host); replicated numpy is written once, by primary
+        ckpt.save(
+            int(jax.device_get(step)),
+            {"cls": jax.device_get(cls_params), "opt": jax.device_get(opt),
+             "step": np.asarray(jax.device_get(step), np.int32),
+             "epoch": np.asarray(epoch + 1, np.int32)},
+        )
         if max_steps is not None and total >= max_steps:
             break
+    ckpt.close()
 
     val_sampler = ShardedSampler(
         len(val_ds), local_batch, shuffle=False, drop_last=False
@@ -364,4 +411,7 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
 
 
 def main(args: dict, resume_preempt: bool = False):
-    return run(config_from_yaml(args))
+    cfg = config_from_yaml(args)
+    if resume_preempt:
+        cfg = dataclasses.replace(cfg, resume_checkpoint=True)
+    return run(cfg)

@@ -76,6 +76,9 @@ class VideoEvalConfig:
     # a configured-but-absent/mismatched checkpoint is an ERROR unless
     # this is set: silently probing a random encoder wastes the run
     allow_missing_checkpoint: bool = False
+    # resume the probe classifier from its own checkpoint — opt-in like the
+    # reference (eval.py:116), or forced by preemption resume
+    resume_checkpoint: bool = False
     checkpoint_key: str = "target_encoder"
     folder: str = "./eval_logs"
     tag: str = "video-eval"
@@ -123,6 +126,7 @@ def config_from_yaml(d: dict) -> VideoEvalConfig:
         checkpoint=os.path.join(pre.get("folder", ""), pre.get("checkpoint", "")),
         checkpoint_key=pre.get("checkpoint_key", "target_encoder"),
         allow_missing_checkpoint=pre.get("allow_missing_checkpoint", False),
+        resume_checkpoint=opt.get("resume_checkpoint", False),
         folder=d.get("folder", d.get("logging", {}).get("folder", "./eval_logs")),
         tag=d.get("tag", "video-eval"),
         source=data.get("source", "files"),
@@ -491,12 +495,14 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
     start_epoch = 0
     template = {"cls": jax.device_get(cls_params), "opt": jax.device_get(opt),
                 "step": np.zeros((), np.int32), "epoch": np.zeros((), np.int32)}
-    try:
-        restored = ckpt.restore(template)
-    except Exception:
-        # stale/shape-mismatched checkpoint (e.g. different num_classes):
-        # start fresh, like the reference's shape-tolerant load
-        restored = None
+    restored = None
+    if cfg.resume_checkpoint:  # opt-in / preemption resume (reference :116)
+        try:
+            restored = ckpt.restore(template)
+        except Exception:
+            # stale/shape-mismatched checkpoint (e.g. different num_classes):
+            # start fresh, like the reference's shape-tolerant load
+            restored = None
     if restored is not None:
         cls_params = jax.device_put(restored["cls"])
         opt = jax.device_put(restored["opt"])
@@ -541,13 +547,17 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
                 break
         logger.info(f"[eval-train {epoch + 1}] top1(train) {meter.avg:.2f}%")
         summary["train_acc"] = meter.avg
-        if jax.process_index() == 0:
-            ckpt.save(
-                int(jax.device_get(step)),
-                {"cls": jax.device_get(cls_params), "opt": jax.device_get(opt),
-                 "step": np.asarray(jax.device_get(step), np.int32),
-                 "epoch": np.asarray(epoch + 1, np.int32)},
-            )
+        # EVERY process calls save: Orbax's save runs a global sync barrier,
+        # so a process_index()==0 guard deadlocks multi-host runs (proc 0
+        # waits in the barrier, the others move on — caught by the true
+        # 2-process eval test). The state is replicated numpy after
+        # device_get; Orbax writes it once, from the primary host.
+        ckpt.save(
+            int(jax.device_get(step)),
+            {"cls": jax.device_get(cls_params), "opt": jax.device_get(opt),
+             "step": np.asarray(jax.device_get(step), np.int32),
+             "epoch": np.asarray(epoch + 1, np.int32)},
+        )
         if max_steps is not None and total >= max_steps:
             break
     ckpt.close()
@@ -582,4 +592,7 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
 
 
 def main(args: dict, resume_preempt: bool = False):
-    return run(config_from_yaml(args))
+    cfg = config_from_yaml(args)
+    if resume_preempt:
+        cfg = dataclasses.replace(cfg, resume_checkpoint=True)
+    return run(cfg)

@@ -236,8 +236,10 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
             total += 1
             if max_steps is not None and total >= max_steps:
                 break
-        if jax.process_index() == 0:
-            ckpt.save(int(jax.device_get(probe_state.step)), jax.device_get(probe_state))
+        # all processes participate (Orbax save syncs globally; a proc-0-only
+        # guard deadlocks multi-host — see evals/video_classification.py);
+        # the probe state is replicated, Orbax writes once from the primary
+        ckpt.save(int(jax.device_get(probe_state.step)), jax.device_get(probe_state))
         summary = {"epoch": epoch + 1, "avg_loss": meter.avg}
         if max_steps is not None and total >= max_steps:
             break

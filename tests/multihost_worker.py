@@ -286,6 +286,57 @@ def run_extract(jax, pid: int, nprocs: int, outdir: str) -> dict:
     }
 
 
+def run_eval(jax, pid: int, nprocs: int, outdir: str) -> dict:
+    """The frozen video-classification eval under TRUE process_count == 2:
+    per-host train/val sampler shards, put_batch global assembly, in-jit
+    global metric reduction (count_correct psum), per-host CSVs, and the
+    proc-0-only classifier checkpoint save.
+
+    Phase 1 (num_epochs=0) validates the init classifier: per-sample math is
+    batch-independent, so the sharded run's global top-1 must equal the
+    single-process run's exactly. Phase 2 trains 2 probe steps: the loss is
+    a replicated global scalar, so both hosts must log identical values.
+    """
+    import dataclasses
+
+    from avjepa_tpu.evals.video_classification import VideoEvalConfig, run
+
+    cfg = VideoEvalConfig(
+        folder=os.path.join(outdir, "eval_logs"),
+        num_classes=3,
+        frames_per_clip=4,
+        num_segments=2,
+        num_views_per_segment=1,
+        frame_step=2,
+        attend_across_segments=True,
+        num_epochs=0,  # phase 1: validation only
+        resolution=32,
+        batch_size=1,  # per chip; global 8 over all devices
+        num_workers=1,
+        use_bfloat16=False,
+        model_name="vit_tiny",
+        patch_size=16,
+        tubelet_size=2,
+        source="synthetic",
+        seed=3,
+        tag="mh-eval-val",
+    )
+    val_only = run(cfg)
+
+    cfg_train = dataclasses.replace(cfg, num_epochs=1, tag="mh-eval-train")
+    trained = run(cfg_train, max_steps=2)
+    losses = _read_losses(
+        os.path.join(outdir, "eval_logs", f"mh-eval-train_r{pid}.csv")
+    )
+    return {
+        "pid": pid,
+        "process_count": jax.process_count(),
+        "val_top1_untrained": val_only["val_top1"],
+        "val_top1_trained": trained["val_top1"],
+        "train_losses": losses,
+    }
+
+
 def main():
     # watchdog: if a phase wedges, dump all thread stacks every 5 min so the
     # parent's captured output shows WHERE (compile, collective, loader, ...)
@@ -305,6 +356,8 @@ def main():
         result = run_golden(jax, outdir)
     elif mode == "extract":
         result = run_extract(jax, pid, nprocs, outdir)
+    elif mode == "eval":
+        result = run_eval(jax, pid, nprocs, outdir)
     else:
         result = run_multiproc(jax, pid, nprocs, outdir)
     os.makedirs(outdir, exist_ok=True)

@@ -51,7 +51,7 @@ def test_video_classification_per_segment_probe(tmp_path):
     assert np.isfinite(summary["val_top1"])
 
 
-def test_image_classification_synthetic():
+def test_image_classification_synthetic(tmp_path):
     cfg = ImageEvalConfig(
         num_classes=4,
         resolution=32,
@@ -61,10 +61,22 @@ def test_image_classification_synthetic():
         model_name="vit_tiny",
         frames_per_clip=4,
         source="synthetic",
+        folder=str(tmp_path),
     )
     summary = run_image(cfg, max_steps=4)
     assert "val_top1" in summary
     assert np.isfinite(summary["val_top1"])
+    # the classifier checkpoint + CSV exist (reference parity: per-epoch
+    # probe checkpointing, evals/image_classification_frozen/eval.py:216-259)
+    import os
+
+    assert os.path.isdir(tmp_path / "image-eval-cls-ckpt")
+    assert (tmp_path / "image-eval_r0.csv").exists()
+    # with the opt-in resume flag (reference eval.py:106), a second run
+    # resumes at the saved epoch and skips straight to val
+    cfg.resume_checkpoint = True
+    summary2 = run_image(cfg, max_steps=4)
+    assert np.isfinite(summary2["val_top1"])
 
 
 def test_video_classification_frame_aggregation(tmp_path):
@@ -208,6 +220,7 @@ def test_missing_checkpoint_is_an_error(tmp_path):
         num_classes=2, resolution=32, batch_size=1, num_epochs=1,
         use_bfloat16=False, model_name="vit_tiny", frames_per_clip=4,
         source="synthetic", checkpoint=str(tmp_path / "nope"),
+        folder=str(tmp_path / "logs"),
     )
     with pytest.raises(FileNotFoundError):
         run_image(cfg, max_steps=1)

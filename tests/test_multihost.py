@@ -115,6 +115,40 @@ def test_cross_host_sampler_and_collator_discipline(multihost_results):
     assert len(r0["sampler_indices"]) == len(r1["sampler_indices"])
 
 
+def test_two_process_video_eval_matches_single(tmp_path):
+    """The frozen video-classification eval under TRUE process_count == 2:
+    the sharded validation computes the same GLOBAL top-1 as one process
+    driving the same 32 samples (per-sample math is batch-independent), and
+    the probe-training loss is a replicated global scalar — identical on
+    every host."""
+    outdir = str(tmp_path / "mh")
+    port = _free_port()
+    procs = [_launch(pid, 2, port, outdir, "eval") for pid in range(2)]
+    for p in procs:
+        _wait(p, timeout=2400)
+    single_dir = str(tmp_path / "single")
+    single = _launch(0, 1, _free_port(), single_dir, "eval")
+    _wait(single, timeout=1800)
+
+    rs = []
+    for pid in range(2):
+        with open(os.path.join(outdir, f"result_eval_{pid}.json")) as f:
+            rs.append(json.load(f))
+    with open(os.path.join(single_dir, "result_eval_0.json")) as f:
+        golden = json.load(f)
+
+    assert rs[0]["process_count"] == rs[1]["process_count"] == 2
+    # replicated metrics agree bit-for-bit across hosts
+    assert rs[0]["val_top1_untrained"] == rs[1]["val_top1_untrained"]
+    assert rs[0]["val_top1_trained"] == rs[1]["val_top1_trained"]
+    np.testing.assert_allclose(
+        rs[0]["train_losses"], rs[1]["train_losses"], rtol=1e-6
+    )
+    assert np.isfinite(rs[0]["train_losses"]).all()
+    # sharding-invariance: 2-host val == single-process val on the same set
+    assert rs[0]["val_top1_untrained"] == golden["val_top1_untrained"]
+
+
 def test_two_process_extract_shards_and_matches_single(tmp_path):
     """The extract app under TRUE process_count == 2: per-host output shards
     jointly cover the dataset exactly once, and every embedding matches the
