@@ -348,6 +348,7 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
         step = jnp.asarray(restored["step"], jnp.int32)
         start_epoch = int(restored["epoch"])
         logger.info(f"resumed classifier at epoch {start_epoch}")
+    last_saved = int(jax.device_get(step)) if restored is not None else -1
 
     csv_logger = CSVLogger(
         os.path.join(cfg.folder, f"{cfg.tag}_r{jax.process_index()}.csv"),
@@ -379,13 +380,20 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
         logger.info(f"[image-eval {epoch + 1}] top1(train) {meter.avg:.2f}%")
         summary["train_acc"] = meter.avg
         # every process calls save: Orbax syncs globally (a proc-0-only guard
-        # deadlocks multi-host); replicated numpy is written once, by primary
-        ckpt.save(
-            int(jax.device_get(step)),
-            {"cls": jax.device_get(cls_params), "opt": jax.device_get(opt),
-             "step": np.asarray(jax.device_get(step), np.int32),
-             "epoch": np.asarray(epoch + 1, np.int32)},
-        )
+        # deadlocks multi-host); replicated numpy is written once, by primary.
+        # Skip epochs that advanced zero steps (train set < one batch) —
+        # re-saving an existing step id raises StepAlreadyExistsError;
+        # force=True overwrites ids left by a previous non-resumed run.
+        step_now = int(jax.device_get(step))
+        if step_now != last_saved:
+            ckpt.save(
+                step_now,
+                {"cls": jax.device_get(cls_params), "opt": jax.device_get(opt),
+                 "step": np.asarray(step_now, np.int32),
+                 "epoch": np.asarray(epoch + 1, np.int32)},
+                force=True,
+            )
+            last_saved = step_now
         if max_steps is not None and total >= max_steps:
             break
     ckpt.close()

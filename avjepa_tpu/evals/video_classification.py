@@ -509,6 +509,7 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
         step = jnp.asarray(restored["step"], jnp.int32)
         start_epoch = int(restored["epoch"])
         logger.info(f"resumed classifier at epoch {start_epoch}")
+    last_saved = int(jax.device_get(step)) if restored is not None else -1
 
     csv_logger = CSVLogger(
         os.path.join(cfg.folder, f"{cfg.tag}_r{jax.process_index()}.csv"),
@@ -551,13 +552,19 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
         # so a process_index()==0 guard deadlocks multi-host runs (proc 0
         # waits in the barrier, the others move on — caught by the true
         # 2-process eval test). The state is replicated numpy after
-        # device_get; Orbax writes it once, from the primary host.
-        ckpt.save(
-            int(jax.device_get(step)),
-            {"cls": jax.device_get(cls_params), "opt": jax.device_get(opt),
-             "step": np.asarray(jax.device_get(step), np.int32),
-             "epoch": np.asarray(epoch + 1, np.int32)},
-        )
+        # device_get; Orbax writes it once, from the primary host. Skip
+        # zero-step epochs (re-saving a step id raises); force=True
+        # overwrites ids left by a previous non-resumed run.
+        step_now = int(jax.device_get(step))
+        if step_now != last_saved:
+            ckpt.save(
+                step_now,
+                {"cls": jax.device_get(cls_params), "opt": jax.device_get(opt),
+                 "step": np.asarray(step_now, np.int32),
+                 "epoch": np.asarray(epoch + 1, np.int32)},
+                force=True,
+            )
+            last_saved = step_now
         if max_steps is not None and total >= max_steps:
             break
     ckpt.close()

@@ -39,33 +39,25 @@ def init_distributed() -> None:
     real-data chain run spent ~70% of its first epoch compiling). Opt out
     with AVJEPA_COMPILE_CACHE=0 or point it elsewhere via
     JAX_COMPILATION_CACHE_DIR."""
+    if int(os.environ.get("AVJEPA_MULTIHOST", "0")):
+        # must precede any backend initialization (default_backend below)
+        jax.distributed.initialize()
     if int(os.environ.get("AVJEPA_COMPILE_CACHE", "1")):
+        from avjepa_tpu.utils.cache_dir import compile_cache_dir
+
         root = os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
+        # positive backend detection: env vars alone miss the
+        # defaulted-to-CPU case, which would share the ISA-unsafe .jax_cache
         plat = (os.environ.get("JAX_PLATFORM_NAME")
-                or os.environ.get("JAX_PLATFORMS") or "")
-        if "cpu" in plat:
-            # XLA:CPU AOT executables target the compiling host's ISA but
-            # the cache key omits it — sharing a dir across hosts SIGABRTs
-            # on load. Key the CPU cache by a host-feature fingerprint
-            # (same scheme as tests/conftest.py).
-            import hashlib
-            import platform as _platform
-            try:
-                with open("/proc/cpuinfo") as f:
-                    cpu = [l for l in f if l.startswith("flags")][0]
-            except (OSError, IndexError):
-                cpu = _platform.processor() or _platform.machine()
-            fp = hashlib.sha1(cpu.encode()).hexdigest()[:10]
-            default = os.path.join(root, f".jax_cache_cpu_{fp}")
-        else:
-            default = os.path.join(root, ".jax_cache")
-        cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", default)
+                or os.environ.get("JAX_PLATFORMS")
+                or jax.default_backend())
+        cache = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", compile_cache_dir(root, plat)
+        )
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    if int(os.environ.get("AVJEPA_MULTIHOST", "0")):
-        jax.distributed.initialize()
 
 
 def make_mesh(

@@ -269,11 +269,18 @@ def main(args: dict, resume_preempt: bool = False) -> dict:
         out, idx_out = encode(enc_params, video, audio_np, idx_dev)
         out, idx_out = np.asarray(out), np.asarray(idx_out)
         # the replicated outputs carry the GLOBAL batch; each host persists
-        # only its own sampler shard's rows (per-host output shards)
-        local_rows = {int(i) for i in idx_np}
+        # only rows it OWNS. Ownership must be derived from the row id, not
+        # from "rows in my shard": the sampler wrap-pads the arange order to
+        # a shard multiple, so with n_total % num_shards != 0 a pad copy of
+        # row r lands in a DIFFERENT host's shard than r's original and both
+        # hosts would write it. The sampler deals position i of the padded
+        # order to shard i % num_shards and extract is always shuffle=False
+        # (order[i] == i for i < n_total), so row r's original belongs to
+        # shard r % num_shards.
+        shards, my_shard = sampler.num_shards, sampler.shard_index
         for row, emb in zip(idx_out, out):
             row = int(row)
-            if row not in local_rows or row >= n_total or written[row]:
+            if row % shards != my_shard or row >= n_total or written[row]:
                 continue  # other host's row or wrap-padded duplicate
             written[row] = True
             if ex.pooling == "mean":

@@ -187,6 +187,7 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
         ("%.5f", "loss-video"), ("%.5f", "loss-audio"),
     )
     ckpt = CheckpointManager(os.path.join(folder, f"{tag}-probe-ckpt"))
+    last_saved = -1
 
     total = 0
     summary = {}
@@ -238,8 +239,13 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
                 break
         # all processes participate (Orbax save syncs globally; a proc-0-only
         # guard deadlocks multi-host — see evals/video_classification.py);
-        # the probe state is replicated, Orbax writes once from the primary
-        ckpt.save(int(jax.device_get(probe_state.step)), jax.device_get(probe_state))
+        # the probe state is replicated, Orbax writes once from the primary.
+        # Skip unadvanced steps; force=True overwrites ids left by a
+        # previous non-resumed run in the same folder.
+        step_now = int(jax.device_get(probe_state.step))
+        if step_now != last_saved:
+            ckpt.save(step_now, jax.device_get(probe_state), force=True)
+            last_saved = step_now
         summary = {"epoch": epoch + 1, "avg_loss": meter.avg}
         if max_steps is not None and total >= max_steps:
             break

@@ -321,11 +321,28 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
     # meta.load_checkpoint: true and the run resumes from this save).
     import signal
 
-    preempted = {"flag": False}
+    preempted = {"flag": False}  # raw per-host signal; control flow uses
+    # the cross-host AGREED value below — SIGTERM delivery can straddle a
+    # step boundary across hosts, and a host that breaks alone enters the
+    # distributed-checkpoint barrier while the others launch the next step's
+    # collectives: a deadlock at exactly the moment the handler exists for.
 
     def _on_sigterm(signum, frame):
         preempted["flag"] = True
         logger.warning("SIGTERM received: checkpointing at next step boundary")
+
+    def _preempt_agreed() -> bool:
+        """Global OR of the per-host SIGTERM flags, evaluated once per step
+        so every host breaks at the SAME step boundary (single-host: the
+        local flag)."""
+        if jax.process_count() == 1:
+            return preempted["flag"]
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray(preempted["flag"], np.int32)
+        )
+        return bool(np.any(np.asarray(flags)))
 
     try:
         prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
@@ -476,13 +493,16 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
             total += 1
             if max_steps is not None and total >= max_steps:
                 break
-            if preempted["flag"]:
+            if _preempt_agreed():
                 break
+        # one agreed snapshot for ALL epoch-end control flow: the raw flag
+        # can flip asynchronously mid-epilogue on one host only
+        preempt_now = _preempt_agreed()
         if (
             epoch % cfg.logging.checkpoint_freq == 0
             or epoch == cfg.optimization.epochs - 1
             or (max_steps is not None and total >= max_steps)
-            or preempted["flag"]
+            or preempt_now
         ):
             # distributed save: every host participates and Orbax writes each
             # shard from the host that owns it — a process-0 device_get would
@@ -510,7 +530,7 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
         }
         if max_steps is not None and total >= max_steps:
             break
-        if preempted["flag"]:
+        if preempt_now:
             saved = int(jax.device_get(state.step))
             logger.warning(
                 f"preempted: checkpoint saved at step {saved}; restart with "

@@ -49,13 +49,17 @@ def cast_dense_params(tree, dtype):
     attn/mlp/xattn module segments) to the compute dtype.
 
     flax's ``promote_dtype`` casts Dense kernels/biases to the module compute
-    dtype at every use anyway, so this is bit-identical — but doing it ONCE on
-    the stacked ``[L, ...]`` arrays hoists the f32->bf16 converts (and, in the
-    backward, the bf16->f32 grad converts) out of the layer scan: the scan's
-    per-layer dW dynamic-update-slice writes then move half the bytes (bf16)
-    and the f32 convert runs once on the whole stack. LayerNorm params are
-    excluded: flax LN multiplies scale/bias at their stored dtype inside the
-    f32 normalization, so casting those WOULD change numerics.
+    dtype at every use anyway, so the FORWARD is bit-identical (tested) —
+    doing it ONCE on the stacked ``[L, ...]`` arrays hoists the f32->bf16
+    converts (and, in the backward, the bf16->f32 grad converts) out of the
+    layer scan: the scan's per-layer dW dynamic-update-slice writes then move
+    half the bytes (bf16) and the f32 convert runs once on the whole stack.
+    GRADIENTS gain one bf16 rounding of each dW (XLA previously fused the f32
+    convert into the dW dot) — torch-AMP-equivalent, NOT bit-identical; the
+    f32 parity path is untouched (the cast is a no-op at dtype float32).
+    LayerNorm params are excluded: flax LN multiplies scale/bias at their
+    stored dtype inside the f32 normalization, so casting those WOULD change
+    the forward too.
     """
     if dtype == jnp.float32:
         return tree
@@ -111,7 +115,8 @@ def make_train_step(
         n = enc_masks.shape[2]
 
         # hoist the block-stack Dense casts out of the layer scans (see
-        # cast_dense_params — bit-identical, halves the scan-bwd dW traffic)
+        # cast_dense_params — forward bit-identical, gradients AMP-equivalent
+        # with one extra bf16 dW rounding; halves the scan-bwd dW traffic)
         enc_params = cast_dense_params(enc_params, encoder.dtype)
         pred_params = cast_dense_params(pred_params, predictor.dtype)
         target_params = cast_dense_params(target_params, encoder.dtype)

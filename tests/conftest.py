@@ -32,21 +32,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: many tests build identical tiny models, and
-# their HLO hashes hit across test files and reruns. The cache dir is keyed
-# by a host-CPU-feature fingerprint: XLA:CPU AOT executables target the
-# compiling machine's ISA extensions, and the cache key does NOT include
-# them — loading an entry produced on a different host SIGABRTs mid-suite
-# ("Machine type used for XLA:CPU compilation doesn't match ... SIGILL").
-import hashlib
-import platform
+# their HLO hashes hit across test files and reruns. The dir is keyed by a
+# host-CPU-feature fingerprint (see avjepa_tpu/utils/cache_dir.py): XLA:CPU
+# AOT executables target the compiling machine's ISA extensions and the
+# cache key does NOT include them — loading an entry produced on a
+# different host SIGABRTs mid-suite.
+from avjepa_tpu.utils.cache_dir import compile_cache_dir
 
-try:
-    with open("/proc/cpuinfo") as _f:
-        _cpu = [l for l in _f if l.startswith("flags")][0]
-except (OSError, IndexError):
-    _cpu = platform.processor() or platform.machine()
-_FP = hashlib.sha1(_cpu.encode()).hexdigest()[:10]
-_CACHE = os.path.join(os.path.dirname(__file__), "..", f".jax_cache_cpu_{_FP}")
+_CACHE = compile_cache_dir(os.path.join(os.path.dirname(__file__), ".."), "cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

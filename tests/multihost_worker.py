@@ -43,17 +43,9 @@ def _configure_jax(nprocs: int, pid: int, port: str):
             f"localhost:{port}", num_processes=nprocs, process_id=pid
         )
     # same host-fingerprinted persistent compile cache as tests/conftest.py
-    import hashlib
+    from avjepa_tpu.utils.cache_dir import compile_cache_dir
 
-    try:
-        with open("/proc/cpuinfo") as f:
-            cpu = [line for line in f if line.startswith("flags")][0]
-    except (OSError, IndexError):
-        import platform
-
-        cpu = platform.processor() or platform.machine()
-    fp = hashlib.sha1(cpu.encode()).hexdigest()[:10]
-    cache = os.path.join(os.path.dirname(__file__), "..", f".jax_cache_cpu_{fp}")
+    cache = compile_cache_dir(os.path.join(os.path.dirname(__file__), ".."), "cpu")
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -273,7 +265,10 @@ def run_extract(jax, pid: int, nprocs: int, outdir: str) -> dict:
         "extract": {
             "pooling": "mean",
             "allow_random": True,
-            "limit": 12,
+            # ODD on purpose: the sampler wrap-pads the order to a shard
+            # multiple, so row 0's pad copy lands in the OTHER host's shard —
+            # the row-ownership filter must keep exactly one writer
+            "limit": 11,
             "output": os.path.join(outdir, "features"),
         },
         "logging": {"folder": os.path.join(outdir, "logs"), "write_tag": "xmh"},

@@ -172,9 +172,11 @@ def test_two_process_extract_shards_and_matches_single(tmp_path):
         for i, e in zip(z["indices"], z["embeddings"]):
             assert int(i) not in rows, "row written by both hosts"
             rows[int(i)] = e
-    assert sorted(rows) == list(range(12))
+    # 11 rows (odd): the wrap-padded copy of row 0 rides in host 1's shard
+    # and must NOT be written twice across the host shards
+    assert sorted(rows) == list(range(11))
 
     zs = np.load(os.path.join(single_dir, "features", "features_r0.npz"))
-    assert sorted(zs["indices"].tolist()) == list(range(12))
+    assert sorted(zs["indices"].tolist()) == list(range(11))
     for i, e in zip(zs["indices"], zs["embeddings"]):
         np.testing.assert_allclose(rows[int(i)], e, rtol=1e-5, atol=1e-6)
