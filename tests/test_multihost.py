@@ -65,20 +65,46 @@ def _wait(proc: subprocess.Popen, timeout: int) -> str:
     return out
 
 
+def _run_workers(nprocs: int, outdir: str, mode: str, timeout: int) -> str:
+    """Launch the worker set; retry ONCE if a worker exits nonzero.
+
+    Cold-compile runs on few-core hosts can starve the gloo rendezvous into
+    a transient crash; the retry reruns with the now-warm persistent compile
+    cache. Deterministic failures still fail twice, and TIMEOUTS are fatal
+    immediately (pytest.fail raises BaseException past the except) — a
+    retry must never mask a deadlock.
+    """
+    for attempt in (0, 1):
+        # fresh dir per attempt: a retry over half-written checkpoints/logs
+        # would fail differently and hide the original error
+        d = outdir if attempt == 0 else outdir + "-retry"
+        port = _free_port()
+        procs = [_launch(pid, nprocs, port, d, mode) for pid in range(nprocs)]
+        try:
+            for p in procs:
+                _wait(p, timeout)
+            return d
+        except AssertionError:
+            if attempt == 1:
+                raise
+        finally:
+            # no-op on success (all exited); reaps stragglers on failure AND
+            # on timeout (pytest.fail's BaseException skips the except above)
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+
+
 @pytest.fixture(scope="module")
 def multihost_results(tmp_path_factory):
     outdir = str(tmp_path_factory.mktemp("mh"))
-    port = _free_port()
-    procs = [_launch(pid, 2, port, outdir, "train") for pid in range(2)]
-    for p in procs:
-        _wait(p, timeout=2400)
-    golden = _launch(0, 1, port, outdir + "-golden", "golden")
-    _wait(golden, timeout=1800)
+    outdir = _run_workers(2, outdir, "train", timeout=2400)
+    golden_dir = _run_workers(1, outdir + "-golden", "golden", timeout=1800)
     results = {}
     for pid in range(2):
         with open(os.path.join(outdir, f"result_train_{pid}.json")) as f:
             results[pid] = json.load(f)
-    with open(os.path.join(outdir + "-golden", "result_golden_0.json")) as f:
+    with open(os.path.join(golden_dir, "result_golden_0.json")) as f:
         results["golden"] = json.load(f)
     return results
 
@@ -121,14 +147,8 @@ def test_two_process_video_eval_matches_single(tmp_path):
     driving the same 32 samples (per-sample math is batch-independent), and
     the probe-training loss is a replicated global scalar — identical on
     every host."""
-    outdir = str(tmp_path / "mh")
-    port = _free_port()
-    procs = [_launch(pid, 2, port, outdir, "eval") for pid in range(2)]
-    for p in procs:
-        _wait(p, timeout=2400)
-    single_dir = str(tmp_path / "single")
-    single = _launch(0, 1, _free_port(), single_dir, "eval")
-    _wait(single, timeout=1800)
+    outdir = _run_workers(2, str(tmp_path / "mh"), "eval", timeout=2400)
+    single_dir = _run_workers(1, str(tmp_path / "single"), "eval", timeout=1800)
 
     rs = []
     for pid in range(2):
@@ -154,14 +174,8 @@ def test_two_process_extract_shards_and_matches_single(tmp_path):
     jointly cover the dataset exactly once, and every embedding matches the
     single-process run bit-for-row (put_batch row alignment + replicated
     outputs are host-placement-invariant)."""
-    outdir = str(tmp_path / "mh")
-    port = _free_port()
-    procs = [_launch(pid, 2, port, outdir, "extract") for pid in range(2)]
-    for p in procs:
-        _wait(p, timeout=1800)
-    single_dir = str(tmp_path / "single")
-    single = _launch(0, 1, _free_port(), single_dir, "extract")
-    _wait(single, timeout=1800)
+    outdir = _run_workers(2, str(tmp_path / "mh"), "extract", timeout=1800)
+    single_dir = _run_workers(1, str(tmp_path / "single"), "extract", timeout=1800)
 
     shards = [
         np.load(os.path.join(outdir, "features", f"features_r{r}.npz"))
