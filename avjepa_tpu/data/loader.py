@@ -112,6 +112,30 @@ class ShardedSampler:
         for i in range(nb):
             yield shard[i * self.batch_size : (i + 1) * self.batch_size]
 
+    def batch_valid_masks(self) -> Iterator[np.ndarray]:
+        """Per-batch bool masks marking rows that are FIRST global
+        occurrences — False on shard-level wrap-pads and batch-level
+        np.resize pads. Zip with the batches so exact-count metrics (val
+        top-1) don't double-count the duplicates the static batch shape
+        introduces (the reference's ragged torch loader counts each sample
+        once). Valid for permutation orders (shuffle on or off: duplicates
+        only ever come from padding); NOT meaningful for weighted draws.
+
+        Layout mirror of __iter__: padded order position of shard element k
+        is shard_index + num_shards*k; positions >= dataset_len are pads.
+        """
+        assert self.weights is None, "validity is undefined for weighted draws"
+        total = int(np.ceil(self.dataset_len / self.num_shards)) * self.num_shards
+        shard_len = total // self.num_shards
+        k = np.arange(shard_len)
+        valid = (self.shard_index + self.num_shards * k) < self.dataset_len
+        if not self.drop_last and shard_len % self.batch_size:
+            pad = self.batch_size - shard_len % self.batch_size
+            valid = np.concatenate([valid, np.zeros(pad, bool)])
+        nb = len(valid) // self.batch_size
+        for i in range(nb):
+            yield valid[i * self.batch_size : (i + 1) * self.batch_size]
+
 
 class JepaLoader:
     """Iterates (video, audio, masksets) batches with background prefetch.

@@ -233,6 +233,26 @@ def _posterize_original(clip, level_0_10):
     return posterize(clip, bits)
 
 
+def _aa_enhance_arg(mag_0_10, rng):
+    # timm _enhance_level_to_arg: deterministic 0.1..1.9 — NOT the RandAugment
+    # 'inc1' 1.0 +/- 0.09*level random-sign mapping (magnitude 0 must mean a
+    # STRONG 0.1 enhance, e.g. the policy's ("Color", 0.4, 0) near-grayscale)
+    return mag_0_10 / 10.0 * 1.8 + 0.1
+
+
+# timm LEVEL_TO_ARG entries whose AutoAugment-'original' semantics differ
+# from the RandAugment-'inc1' mappings in OPS. Solarize in particular is a
+# plain threshold int(mag/10*256) — HIGHER magnitude = HIGHER threshold =
+# MILDER (fewer pixels inverted); the inc1 mapping inverts that severity.
+_AA_ARG_OVERRIDES = {
+    "Solarize": lambda mag, rng: int(mag / 10.0 * 256),
+    "Color": _aa_enhance_arg,
+    "Contrast": _aa_enhance_arg,
+    "Brightness": _aa_enhance_arg,
+    "Sharpness": _aa_enhance_arg,
+}
+
+
 def auto_augment_original(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     """Apply one randomly drawn AutoAugment-'original' sub-policy.
 
@@ -252,6 +272,11 @@ def auto_augment_original(img: np.ndarray, rng: np.random.Generator) -> np.ndarr
             clip = _posterize_original(clip, magnitude)
             continue
         fn, arg_fn = _OPS_BY_NAME[name]
-        level = magnitude / 10.0 * _MAX_LEVEL
-        clip = np.clip(fn(np.clip(clip, 0, 255), arg_fn(level, rng)), 0, 255)
+        if name in _AA_ARG_OVERRIDES:
+            arg = _AA_ARG_OVERRIDES[name](magnitude, rng)
+        else:
+            # geometric ops (Rotate/ShearX) share the signed OPS mapping;
+            # rescale the 0..10 policy magnitude onto the internal 0..30 scale
+            arg = arg_fn(magnitude / 10.0 * _MAX_LEVEL, rng)
+        clip = np.clip(fn(np.clip(clip, 0, 255), arg), 0, 255)
     return clip[0] if squeeze else clip

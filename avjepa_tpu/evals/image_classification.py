@@ -317,7 +317,7 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
         logits = classifier.apply({"params": cls_params}, feats)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
-    from avjepa_tpu.parallel.mesh import count_correct
+    from avjepa_tpu.parallel.mesh import count_correct, count_valid
 
     def collate(samples):
         imgs = np.stack([s[0] for s in samples])
@@ -405,11 +405,15 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
         val_ds, val_sampler, num_workers=cfg.num_workers, collate=collate
     )
     correct = count = 0
-    for imgs, labels in val_loader:
+    # zip per-batch validity: the static-shape sampler wrap-pads duplicates
+    # which must not count toward top-1 (the reference's ragged torch loader
+    # scores each val sample exactly once)
+    for (imgs, labels), valid in zip(val_loader, val_sampler.batch_valid_masks()):
         probs = predict(cls_params, encode(enc_params, put_batch(mesh, imgs)))
         labels_g = put_batch(mesh, labels)
-        correct += int(jax.device_get(count_correct(probs, labels_g)))
-        count += labels_g.shape[0]
+        valid_g = put_batch(mesh, valid)
+        correct += int(jax.device_get(count_correct(probs, labels_g, valid_g)))
+        count += int(jax.device_get(count_valid(valid_g)))
     train_loader.close()
     val_loader.close()
     top1 = 100.0 * correct / max(count, 1)

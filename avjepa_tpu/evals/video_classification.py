@@ -468,7 +468,7 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
         logits = classifier.apply({"params": cls_params}, feats)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
-    from avjepa_tpu.parallel.mesh import count_correct
+    from avjepa_tpu.parallel.mesh import count_correct, count_valid
 
     def collate(samples):
         # [seg][view] sample lists -> stacked [seg][view][B, T, H, W, 3]
@@ -578,7 +578,12 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
     )
     correct = 0
     count = 0
-    for batched, seg_idx, labels in val_loader:
+    # zip per-batch validity: wrap-padded duplicate rows must not count
+    # toward top-1 (the reference's ragged torch loader scores each val
+    # sample exactly once)
+    for (batched, seg_idx, labels), valid in zip(
+        val_loader, val_sampler.batch_valid_masks()
+    ):
         n_view = len(batched[0])
         probs = 0.0
         for v in range(n_view):
@@ -588,8 +593,9 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
             pv = sum(predict(cls_params, f) for f in feats_list) / len(feats_list)
             probs = probs + pv
         labels_g = put_batch(mesh, labels)
-        correct += int(jax.device_get(count_correct(probs, labels_g)))
-        count += labels_g.shape[0]
+        valid_g = put_batch(mesh, valid)
+        correct += int(jax.device_get(count_correct(probs, labels_g, valid_g)))
+        count += int(jax.device_get(count_valid(valid_g)))
     train_loader.close()
     val_loader.close()
     top1 = 100.0 * correct / max(count, 1)

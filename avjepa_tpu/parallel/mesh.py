@@ -184,16 +184,30 @@ def eval_mesh() -> Mesh:
 
 
 @jax.jit
-def count_correct(probs: jax.Array, labels: jax.Array) -> jax.Array:
+def count_correct(probs: jax.Array, labels: jax.Array, valid=None) -> jax.Array:
     """Global-batch correct-prediction count for sharded eval batches.
 
     XLA reduces across the data mesh axis (and, with process-local shards
     from put_batch, across hosts) — the analog of the reference's eval
     accuracy AllReduce (evals/video_classification_frozen/eval.py:364).
+    ``valid`` (optional [B] bool) excludes wrap-padded duplicate rows from
+    the count (ShardedSampler.batch_valid_masks) so exact per-sample top-1
+    matches the reference's ragged-final-batch loader.
     """
     import jax.numpy as jnp
 
-    return jnp.sum((jnp.argmax(probs, -1) == labels).astype(jnp.int32))
+    ok = jnp.argmax(probs, -1) == labels
+    if valid is not None:
+        ok = ok & valid
+    return jnp.sum(ok.astype(jnp.int32))
+
+
+@jax.jit
+def count_valid(valid: jax.Array) -> jax.Array:
+    """Global count of valid (non-pad) rows in a sharded eval batch."""
+    import jax.numpy as jnp
+
+    return jnp.sum(valid.astype(jnp.int32))
 
 
 def put_batch(mesh: Mesh, x: Any, sharding: NamedSharding | None = None) -> jax.Array:

@@ -59,10 +59,9 @@ from avjepa_tpu.parallel.mesh import (
     put_batch,
     replicated,
 )
+from avjepa_tpu.train.pretrain import DTYPES  # one dtype map (float16->bf16)
 from avjepa_tpu.train.step import cast_dense_params, feature_layer_norm
 from avjepa_tpu.utils.logging import get_logger
-
-DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.bfloat16}
 
 
 class DeterministicClipTransform:
@@ -138,6 +137,11 @@ def main(args: dict, resume_preempt: bool = False) -> dict:
     logger = get_logger(rank=rank)
     layout = cfg.layout()
     dtype = DTYPES[cfg.meta.dtype]
+    if cfg.meta.dtype == "float16":
+        logger.warning(
+            "meta.dtype float16 runs as bfloat16 on TPU — embeddings are "
+            "bf16-precision (same mapping and warning as pretrain)"
+        )
 
     os.makedirs(cfg.logging.folder, exist_ok=True)
     dump_config(cfg, os.path.join(cfg.logging.folder, "params-extract.yaml"))
@@ -250,8 +254,6 @@ def main(args: dict, resume_preempt: bool = False) -> dict:
                 embeddings=embs,
             )
             chunk_id += 1
-            if not chunk_rows:
-                break
 
     t0 = time.time()
     n_clips = 0

@@ -332,9 +332,9 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
         logger.warning("SIGTERM received: checkpointing at next step boundary")
 
     def _preempt_agreed() -> bool:
-        """Global OR of the per-host SIGTERM flags, evaluated once per step
-        so every host breaks at the SAME step boundary (single-host: the
-        local flag)."""
+        """Global OR of the per-host SIGTERM flags — every host that calls
+        this at the same loop point gets the SAME answer, so all hosts break
+        at the same step boundary (single-host: the local flag)."""
         if jax.process_count() == 1:
             return preempted["flag"]
         from jax.experimental import multihost_utils
@@ -343,6 +343,14 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
             np.asarray(preempted["flag"], np.int32)
         )
         return bool(np.any(np.asarray(flags)))
+
+    # in-loop poll cadence: the agreement collective is a blocking host
+    # round-trip, so don't pay it every hot-loop step — every host polls at
+    # the same `total % N` boundaries (total is lockstep across hosts, and
+    # the local flag must NOT short-circuit the call or the collective
+    # counts desync), trading <=N steps of checkpoint latency for a
+    # collective-free steady state. Single-host polls every step (free).
+    preempt_poll_steps = 8 if jax.process_count() > 1 else 1
 
     try:
         prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
@@ -493,7 +501,7 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
             total += 1
             if max_steps is not None and total >= max_steps:
                 break
-            if _preempt_agreed():
+            if total % preempt_poll_steps == 0 and _preempt_agreed():
                 break
         # one agreed snapshot for ALL epoch-end control flow: the raw flag
         # can flip asynchronously mid-epilogue on one host only

@@ -285,7 +285,8 @@ def run_eval(jax, pid: int, nprocs: int, outdir: str) -> dict:
     """The frozen video-classification eval under TRUE process_count == 2:
     per-host train/val sampler shards, put_batch global assembly, in-jit
     global metric reduction (count_correct psum), per-host CSVs, and the
-    proc-0-only classifier checkpoint save.
+    all-process-participating classifier checkpoint save (Orbax syncs
+    globally; a proc-0-only guard deadlocks multi-host).
 
     Phase 1 (num_epochs=0) validates the init classifier: per-sample math is
     batch-independent, so the sharded run's global top-1 must equal the
@@ -332,6 +333,53 @@ def run_eval(jax, pid: int, nprocs: int, outdir: str) -> dict:
     }
 
 
+def run_preempt(jax, pid: int, nprocs: int, outdir: str) -> dict:
+    """Cross-host SIGTERM agreement: ONLY host 0 is signaled mid-run; the
+    per-step agreement collective (train/pretrain.py::_preempt_agreed) must
+    make BOTH hosts break at the SAME step boundary and both participate in
+    the distributed checkpoint save. A host breaking alone is the deadlock
+    class the agreement exists for: it enters the Orbax save barrier while
+    the other host launches the next step's collectives.
+    """
+    import signal
+    import threading
+    import time as _time
+
+    from avjepa_tpu.config import load_config
+    from avjepa_tpu.train.pretrain import run
+
+    d = _cfg_dict(outdir, epochs=3, load_checkpoint=False)
+    d["optimization"]["ipe"] = 20  # 60-step full run; preemption cuts it short
+    d["logging"]["write_tag"] = "mhpre"
+    cfg = load_config(d)
+    csv = os.path.join(outdir, "logs", f"mhpre_r{pid}.csv")
+
+    if pid == 0:
+        def _sigterm_after_rows(n: int = 3):
+            # CSVLogger opens/closes per row, so the file length tracks steps
+            while True:
+                try:
+                    with open(csv) as f:
+                        if sum(1 for _ in f) > n:  # header + n step rows
+                            break
+                except OSError:
+                    pass
+                _time.sleep(0.2)
+            os.kill(os.getpid(), signal.SIGTERM)
+
+        threading.Thread(target=_sigterm_after_rows, daemon=True).start()
+
+    summary = run(cfg)
+    losses = _read_losses(csv)
+    return {
+        "pid": pid,
+        "process_count": jax.process_count(),
+        "preempted": bool(summary.get("preempted")),
+        "steps_logged": len(losses),
+        "losses": losses,
+    }
+
+
 def main():
     # watchdog: if a phase wedges, dump all thread stacks every 5 min so the
     # parent's captured output shows WHERE (compile, collective, loader, ...)
@@ -353,6 +401,8 @@ def main():
         result = run_extract(jax, pid, nprocs, outdir)
     elif mode == "eval":
         result = run_eval(jax, pid, nprocs, outdir)
+    elif mode == "preempt":
+        result = run_preempt(jax, pid, nprocs, outdir)
     else:
         result = run_multiproc(jax, pid, nprocs, outdir)
     os.makedirs(outdir, exist_ok=True)

@@ -288,3 +288,76 @@ def test_sharded_sampler_no_drop_last_small_val():
     # drop_last=True (train) behavior unchanged
     s = ShardedSampler(20, 24, shuffle=False, num_shards=1, shard_index=0)
     assert list(s) == []
+
+
+def test_auto_augment_original_magnitude_semantics():
+    """AutoAugment-'original' magnitudes follow timm's LEVEL_TO_ARG, not the
+    RandAugment-'inc1' mappings (regression: Solarize severity was inverted
+    and enhance ops used the 1.0 +/- 0.09*level random-sign mapping)."""
+    from avjepa_tpu.data.randaugment import (
+        _AA_ARG_OVERRIDES,
+        auto_augment_original,
+        color,
+        solarize,
+    )
+
+    rng = np.random.default_rng(0)
+    # timm _solarize_level_to_arg: int(mag/10 * 256) — magnitude 8 is a MILD
+    # threshold 204 (inverts only near-white), magnitude 0 inverts everything
+    assert _AA_ARG_OVERRIDES["Solarize"](8, rng) == 204
+    assert _AA_ARG_OVERRIDES["Solarize"](0, rng) == 0
+    mid_gray = np.full((1, 4, 4, 3), 100.0, np.float32)
+    np.testing.assert_array_equal(solarize(mid_gray, 204), mid_gray)
+
+    # timm _enhance_level_to_arg: deterministic mag/10*1.8 + 0.1 — the
+    # policy's ("Color", 0.4, 0) is a STRONG 0.1 near-grayscale, not a no-op
+    assert _AA_ARG_OVERRIDES["Color"](0, rng) == pytest.approx(0.1)
+    assert _AA_ARG_OVERRIDES["Color"](10, rng) == pytest.approx(1.9)
+    img = np.zeros((1, 2, 2, 3), np.float32)
+    img[..., 0] = 200.0  # strongly colored
+    out = color(img, 0.1)
+    # factor 0.1 pulls channels toward the per-pixel gray mean (66.7)
+    assert abs(out[0, 0, 0, 0] - out[0, 0, 0, 1]) < 0.12 * abs(
+        img[0, 0, 0, 0] - img[0, 0, 0, 1]
+    )
+
+    # end-to-end: valid output range/shape for both image and clip inputs
+    rng = np.random.default_rng(1)
+    im = rng.uniform(0, 255, size=(8, 8, 3)).astype(np.float32)
+    for _ in range(20):
+        out = auto_augment_original(im, rng)
+        assert out.shape == im.shape
+        assert out.min() >= 0.0 and out.max() <= 255.0
+
+
+def test_sampler_batch_valid_masks_exact_cover():
+    """batch_valid_masks marks each dataset row valid EXACTLY once across
+    all shards/batches (wrap-pad duplicates excluded) — the masks the evals
+    use so top-1 counts every val sample once, like the reference's ragged
+    torch loader (regression: padded duplicates biased small-val top-1)."""
+    from avjepa_tpu.data.loader import ShardedSampler
+
+    for n, batch, shards in [(10, 32, 1), (10, 8, 2), (50, 16, 1),
+                             (20, 24, 1), (7, 4, 3), (64, 16, 2)]:
+        per_row = np.zeros(n, np.int64)
+        got_all = 0
+        for si in range(shards):
+            s = ShardedSampler(n, batch, shuffle=False, num_shards=shards,
+                               shard_index=si, drop_last=False)
+            batches = list(s)
+            masks = list(s.batch_valid_masks())
+            assert len(batches) == len(masks)
+            for b, m in zip(batches, masks):
+                assert b.shape == m.shape
+                per_row += np.bincount(b[m], minlength=n)
+                got_all += len(b)
+        np.testing.assert_array_equal(per_row, np.ones(n, np.int64))
+        assert got_all >= n  # pads exist whenever shapes don't divide
+
+    # shuffled permutation orders: duplicates still only come from padding
+    s = ShardedSampler(10, 8, shuffle=True, seed=3, num_shards=1,
+                       shard_index=0, drop_last=False)
+    s.set_epoch(2)
+    rows = np.concatenate(list(s))
+    valid = np.concatenate(list(s.batch_valid_masks()))
+    np.testing.assert_array_equal(np.sort(rows[valid]), np.arange(10))

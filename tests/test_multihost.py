@@ -169,6 +169,24 @@ def test_two_process_video_eval_matches_single(tmp_path):
     assert rs[0]["val_top1_untrained"] == golden["val_top1_untrained"]
 
 
+def test_two_process_sigterm_agreement(tmp_path):
+    """SIGTERM delivered to ONE host only: the cross-host agreement poll
+    must make BOTH hosts break at the same step boundary, run the
+    distributed save together (no barrier-vs-collective deadlock), and
+    report the preempted summary — a desync here is a hang, caught by the
+    fatal per-worker timeout."""
+    outdir = _run_workers(2, str(tmp_path / "mh"), "preempt", timeout=2400)
+    rs = []
+    for pid in range(2):
+        with open(os.path.join(outdir, f"result_preempt_{pid}.json")) as f:
+            rs.append(json.load(f))
+    assert rs[0]["preempted"] and rs[1]["preempted"]
+    # same break boundary on both hosts, well short of the 60-step full run
+    assert rs[0]["steps_logged"] == rs[1]["steps_logged"]
+    assert rs[0]["steps_logged"] < 60
+    np.testing.assert_allclose(rs[0]["losses"], rs[1]["losses"], rtol=1e-6)
+
+
 def test_two_process_extract_shards_and_matches_single(tmp_path):
     """The extract app under TRUE process_count == 2: per-host output shards
     jointly cover the dataset exactly once, and every embedding matches the
