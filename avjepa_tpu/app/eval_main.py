@@ -26,7 +26,9 @@ def launch(fname: str) -> None:
     with open(fname) as f:
         params = yaml.safe_load(f)
     eval_name = params.get("eval_name")
-    resume_preempt = bool(int(os.environ.get("AVJEPA_RESUME_PREEMPT", "0")))
+    from avjepa_tpu.utils import env_flag
+
+    resume_preempt = env_flag("AVJEPA_RESUME_PREEMPT")
     if resume_preempt:
         logger.info("AVJEPA_RESUME_PREEMPT=1: resuming probe classifier")
     logger.info(f"running eval '{eval_name}'")

@@ -39,7 +39,9 @@ def launch(fname: str, dump_dir: str | None = None) -> None:
     # preemption restart: the supervisor (or operator) sets this env and the
     # run resumes from the SIGTERM checkpoint (see COVERAGE.md runbook;
     # reference requeues via submitit, app/main_distributed.py:65-67)
-    resume_preempt = bool(int(os.environ.get("AVJEPA_RESUME_PREEMPT", "0")))
+    from avjepa_tpu.utils import env_flag
+
+    resume_preempt = env_flag("AVJEPA_RESUME_PREEMPT")
     if resume_preempt:
         logger.info("AVJEPA_RESUME_PREEMPT=1: resuming from latest checkpoint")
     app_main(cfg.app, params, resume_preempt=resume_preempt)

@@ -70,9 +70,9 @@ def main(argv=None) -> None:
     from avjepa_tpu.parallel.mesh import init_distributed
 
     init_distributed()
-    resume = args.resume_preempt or bool(
-        int(os.environ.get("AVJEPA_RESUME_PREEMPT", "0"))
-    )
+    from avjepa_tpu.utils import env_flag
+
+    resume = args.resume_preempt or env_flag("AVJEPA_RESUME_PREEMPT")
     configs = args.fname if args.batch_launch else args.fname[:1]
     for fname in configs:
         launch_one(fname, args.folder, resume)

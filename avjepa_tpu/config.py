@@ -159,7 +159,7 @@ class ExtractConfig:
     layer_norm: bool = True  # feature-dim LN, matching the target path
     limit: Optional[int] = None  # cap extracted rows (debug/CI)
     allow_random: bool = False  # permit running without a checkpoint
-    chunk_rows: int = 2048  # rows per output shard in 'tokens' mode
+    chunk_rows: int = 2048  # rows per output chunk (both pooling modes)
 
 
 @dataclasses.dataclass

@@ -31,26 +31,79 @@ def _init_worker(dataset):
     _WORKER_DATASET = dataset
 
 
-def _fetch_with_retry(dataset, idx: int):
+class FetchFailure:
+    """Sentinel for a sample that failed to decode after retries.
+
+    Produced only under ``retry_resample=False`` (eval VAL loaders): silently
+    substituting a random other sample would double-score it and skip the
+    failed one in the exact top-1 accounting, so the failure is carried to
+    the collate, which excludes the slot from the metric instead."""
+
+    __slots__ = ("idx",)
+
+    def __init__(self, idx: int):
+        self.idx = int(idx)
+
+
+def _fetch_with_retry(dataset, idx: int, resample: bool = True):
     # retry-resample loop on decode failure — the single implementation for
     # both the thread and process pools
-    # (reference: src/datasets/audiovideo_dataset.py:163-170)
-    for attempt in range(10):
+    # (reference: src/datasets/audiovideo_dataset.py:163-170).
+    # resample=False retries the SAME index then yields a FetchFailure
+    # sentinel (exact-metric val paths must not substitute another sample).
+    attempts = 10 if resample else 3
+    for attempt in range(attempts):
         try:
             return dataset[int(idx)]
         except Exception:
-            idx = np.random.default_rng([int(idx), attempt]).integers(
-                0, len(dataset)
-            )
+            if resample:
+                idx = np.random.default_rng([int(idx), attempt]).integers(
+                    0, len(dataset)
+                )
+    if not resample:
+        return FetchFailure(idx)
     raise RuntimeError("persistent decode failure")
 
 
-def _fetch_worker(idx: int, epoch: int = 0):
+def _fetch_worker(idx: int, epoch: int = 0, resample: bool = True):
     # process workers hold a pickled dataset COPY, so the epoch must ride in
     # with each task — a set_epoch on the parent's dataset never reaches them
     if hasattr(_WORKER_DATASET, "set_epoch"):
         _WORKER_DATASET.set_epoch(epoch)
-    return _fetch_with_retry(_WORKER_DATASET, idx)
+    return _fetch_with_retry(_WORKER_DATASET, idx, resample)
+
+
+def exact_val_collate(collate):
+    """Wrap an eval collate for a ``retry_resample=False`` loader.
+
+    FetchFailure slots are replaced with a copy of a good sample from the
+    same batch (keeping batch shapes static, no recompiles) and a per-slot
+    ``ok`` mask is appended to the collate's outputs; the val metric ANDs it
+    with its wrap-padding validity so a corrupt file is excluded from top-1
+    (and loudly logged) instead of silently scoring a substituted sample."""
+
+    def wrapped(samples):
+        ok = np.asarray(
+            [not isinstance(s, FetchFailure) for s in samples], bool
+        )
+        if not ok.all():
+            failed = [s.idx for s in samples if isinstance(s, FetchFailure)]
+            import logging
+
+            logging.getLogger("avjepa_tpu").warning(
+                f"val decode failure: sample indices {failed} excluded from "
+                "the metric"
+            )
+            if not ok.any():
+                raise RuntimeError("entire val batch failed to decode")
+            good = samples[int(np.argmax(ok))]
+            samples = [s if o else good for s, o in zip(samples, ok)]
+        out = collate(samples)
+        if not isinstance(out, tuple):
+            out = (out,)
+        return (*out, ok)
+
+    return wrapped
 
 
 class ShardedSampler:
@@ -155,6 +208,7 @@ class JepaLoader:
         prefetch: int = 2,
         use_processes: bool = False,
         collate=None,
+        retry_resample: bool = True,
     ):
         """``collate``: optional ``fn(samples) -> batch`` overriding the
         default AV assembly — lets the evals reuse this loader's worker pool
@@ -169,6 +223,10 @@ class JepaLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.use_processes = use_processes
+        # retry_resample=False: decode failures surface as FetchFailure
+        # sentinels in the collate's sample list (requires a collate that
+        # handles them); exact-accounting val loaders use this
+        self.retry_resample = retry_resample
         if use_processes:
             # process workers sidestep the GIL for the numpy stages (mel,
             # normalize); the torch-DataLoader-equivalent mode. forkserver,
@@ -203,22 +261,30 @@ class JepaLoader:
             pass
 
     def _fetch(self, idx: int):
-        return _fetch_with_retry(self.dataset, idx)
+        return _fetch_with_retry(self.dataset, idx, self.retry_resample)
 
     def _assemble(self, indices: np.ndarray):
+        n = len(indices)
         if self.use_processes:
             epoch = getattr(self, "_epoch", 0)
             samples = list(
                 self._pool.map(
                     _fetch_worker,
                     [int(i) for i in indices],
-                    [epoch] * len(indices),
+                    [epoch] * n,
+                    [self.retry_resample] * n,
                 )
             )
         else:
             samples = list(self._pool.map(self._fetch, indices))
         if self.collate is not None:
             return self.collate(samples)
+        if any(isinstance(s, FetchFailure) for s in samples):
+            # only collate consumers can exclude failed slots; the default AV
+            # assembly has no validity channel
+            raise RuntimeError(
+                "decode failure with retry_resample=False and no collate"
+            )
         video = np.stack([s[0] for s in samples])
         audio = None
         if samples[0][1] is not None:

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from avjepa_tpu.data.av_dataset import load_index
-from avjepa_tpu.data.loader import JepaLoader, ShardedSampler
+from avjepa_tpu.data.loader import JepaLoader, ShardedSampler, exact_val_collate
 from avjepa_tpu.data.randaugment import auto_augment_original
 from avjepa_tpu.data.transforms import (
     IMAGENET_MEAN,
@@ -401,14 +401,18 @@ def run(cfg: ImageEvalConfig, max_steps: Optional[int] = None) -> dict:
     val_sampler = ShardedSampler(
         len(val_ds), local_batch, shuffle=False, drop_last=False
     )
+    # exact accounting: decode failures are EXCLUDED from top-1 (no
+    # silent resample-substitution on the val set)
     val_loader = JepaLoader(
-        val_ds, val_sampler, num_workers=cfg.num_workers, collate=collate
+        val_ds, val_sampler, num_workers=cfg.num_workers,
+        collate=exact_val_collate(collate), retry_resample=False,
     )
     correct = count = 0
     # zip per-batch validity: the static-shape sampler wrap-pads duplicates
     # which must not count toward top-1 (the reference's ragged torch loader
     # scores each val sample exactly once)
-    for (imgs, labels), valid in zip(val_loader, val_sampler.batch_valid_masks()):
+    for (imgs, labels, ok), valid in zip(val_loader, val_sampler.batch_valid_masks()):
+        valid = valid & ok  # decode failures excluded from the exact metric
         probs = predict(cls_params, encode(enc_params, put_batch(mesh, imgs)))
         labels_g = put_batch(mesh, labels)
         valid_g = put_batch(mesh, valid)

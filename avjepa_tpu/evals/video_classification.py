@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from avjepa_tpu.data.av_dataset import load_index, sample_clip_indices
-from avjepa_tpu.data.loader import JepaLoader, ShardedSampler
+from avjepa_tpu.data.loader import JepaLoader, ShardedSampler, exact_val_collate
 from avjepa_tpu.data.transforms import EvalVideoTransform, VideoTransform
 from avjepa_tpu.data.video_decoder import VideoFile
 from avjepa_tpu.layout import TokenLayout
@@ -573,17 +573,21 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
     val_sampler = ShardedSampler(
         len(val_ds), local_batch, shuffle=False, seed=0, drop_last=False
     )
+    # exact accounting: decode failures are EXCLUDED from top-1 (no
+    # silent resample-substitution on the val set)
     val_loader = JepaLoader(
-        val_ds, val_sampler, num_workers=cfg.num_workers, collate=collate
+        val_ds, val_sampler, num_workers=cfg.num_workers,
+        collate=exact_val_collate(collate), retry_resample=False,
     )
     correct = 0
     count = 0
     # zip per-batch validity: wrap-padded duplicate rows must not count
     # toward top-1 (the reference's ragged torch loader scores each val
     # sample exactly once)
-    for (batched, seg_idx, labels), valid in zip(
+    for (batched, seg_idx, labels, ok), valid in zip(
         val_loader, val_sampler.batch_valid_masks()
     ):
+        valid = valid & ok  # decode failures excluded from the exact metric
         n_view = len(batched[0])
         probs = 0.0
         for v in range(n_view):

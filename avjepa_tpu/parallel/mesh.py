@@ -43,10 +43,11 @@ def init_distributed() -> None:
         # must precede any backend initialization (default_backend below)
         jax.distributed.initialize()
     if int(os.environ.get("AVJEPA_COMPILE_CACHE", "1")):
-        from avjepa_tpu.utils.cache_dir import compile_cache_dir
+        from avjepa_tpu.utils.cache_dir import compile_cache_dir, default_cache_root
 
-        root = os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))))
+        # source checkout → repo root; wheel install → XDG user cache
+        # (never write into site-packages)
+        root = default_cache_root()
         # positive backend detection: env vars alone miss the
         # defaulted-to-CPU case, which would share the ISA-unsafe .jax_cache
         plat = (os.environ.get("JAX_PLATFORM_NAME")

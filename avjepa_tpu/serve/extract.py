@@ -24,6 +24,8 @@ TPU-first design:
 
 Outputs under ``extract.output`` (default <logging.folder>/<tag>-features):
   - pooling 'mean':   features_r{rank}.npz  {indices, embeddings [n, D]}
+    when the shard fits in one ``extract.chunk_rows`` chunk; larger runs
+    spill features_r{rank}_{k}.npz chunks (bounded host memory)
   - pooling 'tokens': tokens_r{rank}_{k}.npz chunks {indices, embeddings
     [n, N, D]} (``extract.chunk_rows`` rows per chunk)
   - index_r{rank}.csv: global row -> media path, label
@@ -238,22 +240,36 @@ def main(args: dict, resume_preempt: bool = False) -> dict:
     os.makedirs(out_dir, exist_ok=True)
 
     written = np.zeros(n_total, bool)
-    mean_rows: dict[int, np.ndarray] = {}
-    chunk_rows: list[tuple[int, np.ndarray]] = []
+    pending: list[tuple[int, np.ndarray]] = []
     chunk_id = 0
+    is_mean = ex.pooling == "mean"
+    prefix = "features" if is_mean else "tokens"
 
-    def flush_tokens(force: bool = False):
-        nonlocal chunk_rows, chunk_id
-        while chunk_rows and (len(chunk_rows) >= ex.chunk_rows or force):
-            part, chunk_rows = chunk_rows[: ex.chunk_rows], chunk_rows[ex.chunk_rows:]
-            idxs = np.asarray([i for i, _ in part], np.int64)
-            embs = np.stack([e for _, e in part])
+    def flush(force: bool = False):
+        """Bounded-memory writer for BOTH pooling modes: at most
+        ``extract.chunk_rows`` rows are ever held in host memory. A mean-mode
+        run whose owned rows fit in ONE chunk keeps the documented
+        single-file ``features_r{rank}.npz`` format (sorted by row); larger
+        runs spill ``features_r{rank}_{k}.npz`` chunks like tokens mode —
+        accumulating a whole multi-million-clip extract in RAM before one
+        final write would OOM the host and lose the run."""
+        nonlocal pending, chunk_id
+        # mean holds until STRICTLY over a chunk so an exactly-chunk-sized
+        # run still gets the compat single-file name at force time
+        trigger = ex.chunk_rows + 1 if is_mean else ex.chunk_rows
+        while (pending and force) or len(pending) >= trigger:
+            if is_mean and force and chunk_id == 0 and len(pending) <= ex.chunk_rows:
+                part, pending = sorted(pending, key=lambda t: t[0]), []
+                name = f"features_r{rank}.npz"
+            else:
+                part, pending = pending[: ex.chunk_rows], pending[ex.chunk_rows:]
+                name = f"{prefix}_r{rank}_{chunk_id:05d}.npz"
+                chunk_id += 1
             np.savez(
-                os.path.join(out_dir, f"tokens_r{rank}_{chunk_id:05d}.npz"),
-                indices=idxs,
-                embeddings=embs,
+                os.path.join(out_dir, name),
+                indices=np.asarray([i for i, _ in part], np.int64),
+                embeddings=np.stack([e for _, e in part]),
             )
-            chunk_id += 1
 
     t0 = time.time()
     n_clips = 0
@@ -285,28 +301,22 @@ def main(args: dict, resume_preempt: bool = False) -> dict:
             if row % shards != my_shard or row >= n_total or written[row]:
                 continue  # other host's row or wrap-padded duplicate
             written[row] = True
-            if ex.pooling == "mean":
-                mean_rows[row] = emb
-            else:
-                chunk_rows.append((row, emb))
+            pending.append((row, emb))
         n_clips += len(idx_batch)
-        flush_tokens()
+        flush()
 
-    flush_tokens(force=True)
-    dt = time.time() - t0
-
-    rows = np.asarray(sorted(mean_rows), np.int64)
-    if ex.pooling == "mean":
-        embs = (
-            np.stack([mean_rows[int(r)] for r in rows])
-            if len(rows)
-            else np.zeros((0, dim), np.float32)
-        )
+    flush(force=True)
+    if is_mean and chunk_id == 0 and not os.path.exists(
+        os.path.join(out_dir, f"features_r{rank}.npz")
+    ):
+        # zero owned rows: still write the (empty) single file so consumers
+        # that load features_r{rank}.npz per rank keep working
         np.savez(
             os.path.join(out_dir, f"features_r{rank}.npz"),
-            indices=rows,
-            embeddings=embs,
+            indices=np.zeros(0, np.int64),
+            embeddings=np.zeros((0, dim), np.float32),
         )
+    dt = time.time() - t0
     done_rows = np.nonzero(written)[0]
     with open(os.path.join(out_dir, f"index_r{rank}.csv"), "w") as f:
         f.write("row,path,label\n")

@@ -357,200 +357,204 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
     except ValueError:  # not the main thread (tests drive run() directly)
         prev_handler = None
 
-    handles = setup(cfg)
-    state = handles.state
-    layout = cfg.layout()
+    try:
+        handles = setup(cfg)
+        state = handles.state
+        layout = cfg.layout()
 
-    monitor = None
-    if cfg.data.log_resource_utilization:
-        # host-resource CSV next to the metrics (reference carries this knob
-        # but its monitor was dormant; ours samples /proc)
-        from avjepa_tpu.utils.monitoring import ResourceMonitor
+        monitor = None
+        if cfg.data.log_resource_utilization:
+            # host-resource CSV next to the metrics (reference carries this knob
+            # but its monitor was dormant; ours samples /proc)
+            from avjepa_tpu.utils.monitoring import ResourceMonitor
 
-        os.makedirs(cfg.logging.folder, exist_ok=True)
-        monitor = ResourceMonitor(
-            log_path=os.path.join(
-                cfg.logging.folder,
-                f"{cfg.logging.write_tag}_resources_r{jax.process_index()}.csv",
-            )
-        ).start()
-
-    folder = cfg.logging.folder
-    os.makedirs(folder, exist_ok=True)
-    tag = cfg.logging.write_tag
-    csv_logger = CSVLogger(
-        os.path.join(folder, f"{tag}_r{jax.process_index()}.csv"),
-        ("%d", "epoch"),
-        ("%d", "itr"),
-        ("%.5f", "loss"),
-        ("%.5f", "loss-jepa"),
-        ("%.5f", "reg-loss"),
-        ("%.2e", "enc-grad-norm"),
-        ("%.2e", "pred-grad-norm"),
-        ("%.2e", "grad-avg"),
-        ("%.2e", "grad-first-qkv"),
-        ("%.2e", "grad-last-qkv"),
-        ("%.2e", "opt-mu-abs"),
-        ("%.2e", "opt-nu-abs"),
-        ("%.1f", "step-time-ms"),
-        ("%.1f", "iter-time-ms"),
-    )
-
-    ckpt = CheckpointManager(os.path.join(folder, f"{tag}-ckpt"))
-
-    def restore_freeing_init(mngr):
-        """Restore directly into the mesh shardings via an ABSTRACT template,
-        deleting the random-init state's device buffers first: keeping both
-        full states alive while Orbax materializes the restored one OOMs
-        ViT-L on a single chip (observed: first post-resume step
-        RESOURCE_EXHAUSTED at 300 steps b24)."""
-        nonlocal state
-        like = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
-            state,
-        )
-        for leaf in jax.tree_util.tree_leaves(state):
-            leaf.delete()
-        return mngr.restore(like)
-
-    restored = None
-    if cfg.meta.load_checkpoint:
-        if ckpt.latest_step() is not None:
-            restored = restore_freeing_init(ckpt)
-        elif cfg.meta.read_checkpoint:
-            # init-from-named-checkpoint: the run's own folder has no
-            # checkpoint yet, so seed from meta.read_checkpoint (reference:
-            # r_file / load_checkpoint, app/avjepa/train.py:75,184-192)
-            src = cfg.meta.read_checkpoint
-            if os.path.isdir(src):
-                src_mngr = CheckpointManager(src)
-                if src_mngr.latest_step() is not None:
-                    restored = restore_freeing_init(src_mngr)
-                src_mngr.close()
-                if restored is not None:
-                    logger.info(f"initialized from checkpoint {src}")
-            else:
-                logger.warning(f"read_checkpoint {src} not found; fresh init")
-    if restored is not None:
-        state = restored
-        handles.state = state
-        logger.info(f"resumed from step {int(jax.device_get(state.step))}")
-
-    start_step = int(jax.device_get(state.step))
-    ipe = cfg.optimization.ipe
-    start_epoch = start_step // ipe
-    # fast-forward the mask collator counter (reference: train.py:326-330)
-    handles.mask_collator.set_counter(start_step - 1)
-
-    logger.info(
-        f"encoder params: {count_parameters(jax.device_get(state.enc_params)):,} | "
-        f"predictor params: {count_parameters(jax.device_get(state.pred_params)):,}"
-    )
-
-    total = 0
-    summary = {}
-    loss_meter = AverageMeter()
-    data_iter = iter(handles.loader)
-    if cfg.data.skip_batches > 0:
-        logger.info(f"skipping {cfg.data.skip_batches} batches")
-        for _ in range(cfg.data.skip_batches):
-            try:
-                next(data_iter)
-            except StopIteration:
-                data_iter = iter(handles.loader)
-    for epoch in range(start_epoch, cfg.optimization.epochs):
-        handles.loader.set_epoch(epoch)
-        loss_meter.reset()
-        time_meter = AverageMeter()
-        for itr in range(ipe):
-            t_iter = time.perf_counter()
-            try:
-                video, audio, _, masks = next(data_iter)
-            except StopIteration:
-                data_iter = iter(handles.loader)
-                video, audio, _, masks = next(data_iter)
-            with StepTimer() as t:
-                state, metrics = handles.step(state, video, audio, masks)
-                metrics = jax.device_get(metrics)
-            iter_ms = (time.perf_counter() - t_iter) * 1000
-            loss = float(metrics["loss"])
-            loss_meter.update(loss)
-            time_meter.update(t.elapsed_ms)
-            csv_logger.log(
-                epoch + 1, itr, loss, float(metrics["loss_jepa"]),
-                float(metrics["loss_reg"]), float(metrics["enc_grad_norm"]),
-                float(metrics["pred_grad_norm"]), float(metrics["enc_grad_avg"]),
-                float(metrics["enc_grad_first_qkv"]),
-                float(metrics["enc_grad_last_qkv"]),
-                float(metrics["opt_mu_abs"]), float(metrics["opt_nu_abs"]),
-                t.elapsed_ms, iter_ms,
-            )
-            if itr % cfg.logging.log_freq == 0:
-                logger.info(
-                    f"[{epoch + 1}, {itr:5d}] loss: {loss_meter.avg:.3f} "
-                    f"| p{float(metrics['loss_jepa']):.3f} r{float(metrics['loss_reg']):.3f} "
-                    f"| input_var: {float(metrics['input_var']):.3f} "
-                    f"| masks: {np.array2string(metrics['mask_sizes'], precision=0)} "
-                    f"[wd: {float(metrics['wd']):.2e}] [lr: {float(metrics['lr']):.2e}] "
-                    f"[g: {float(metrics['enc_grad_avg']):.2e} "
-                    f"f{float(metrics['enc_grad_first_qkv']):.2e} "
-                    f"l{float(metrics['enc_grad_last_qkv']):.2e}] "
-                    f"[step: {time_meter.avg:.1f} ms]"
+            os.makedirs(cfg.logging.folder, exist_ok=True)
+            monitor = ResourceMonitor(
+                log_path=os.path.join(
+                    cfg.logging.folder,
+                    f"{cfg.logging.write_tag}_resources_r{jax.process_index()}.csv",
                 )
-            assert np.isfinite(loss), "loss is not finite"
-            total += 1
+            ).start()
+
+        folder = cfg.logging.folder
+        os.makedirs(folder, exist_ok=True)
+        tag = cfg.logging.write_tag
+        csv_logger = CSVLogger(
+            os.path.join(folder, f"{tag}_r{jax.process_index()}.csv"),
+            ("%d", "epoch"),
+            ("%d", "itr"),
+            ("%.5f", "loss"),
+            ("%.5f", "loss-jepa"),
+            ("%.5f", "reg-loss"),
+            ("%.2e", "enc-grad-norm"),
+            ("%.2e", "pred-grad-norm"),
+            ("%.2e", "grad-avg"),
+            ("%.2e", "grad-first-qkv"),
+            ("%.2e", "grad-last-qkv"),
+            ("%.2e", "opt-mu-abs"),
+            ("%.2e", "opt-nu-abs"),
+            ("%.1f", "step-time-ms"),
+            ("%.1f", "iter-time-ms"),
+        )
+
+        ckpt = CheckpointManager(os.path.join(folder, f"{tag}-ckpt"))
+
+        def restore_freeing_init(mngr):
+            """Restore directly into the mesh shardings via an ABSTRACT template,
+            deleting the random-init state's device buffers first: keeping both
+            full states alive while Orbax materializes the restored one OOMs
+            ViT-L on a single chip (observed: first post-resume step
+            RESOURCE_EXHAUSTED at 300 steps b24)."""
+            nonlocal state
+            like = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+                state,
+            )
+            for leaf in jax.tree_util.tree_leaves(state):
+                leaf.delete()
+            return mngr.restore(like)
+
+        restored = None
+        if cfg.meta.load_checkpoint:
+            if ckpt.latest_step() is not None:
+                restored = restore_freeing_init(ckpt)
+            elif cfg.meta.read_checkpoint:
+                # init-from-named-checkpoint: the run's own folder has no
+                # checkpoint yet, so seed from meta.read_checkpoint (reference:
+                # r_file / load_checkpoint, app/avjepa/train.py:75,184-192)
+                src = cfg.meta.read_checkpoint
+                if os.path.isdir(src):
+                    src_mngr = CheckpointManager(src)
+                    if src_mngr.latest_step() is not None:
+                        restored = restore_freeing_init(src_mngr)
+                    src_mngr.close()
+                    if restored is not None:
+                        logger.info(f"initialized from checkpoint {src}")
+                else:
+                    logger.warning(f"read_checkpoint {src} not found; fresh init")
+        if restored is not None:
+            state = restored
+            handles.state = state
+            logger.info(f"resumed from step {int(jax.device_get(state.step))}")
+
+        start_step = int(jax.device_get(state.step))
+        ipe = cfg.optimization.ipe
+        start_epoch = start_step // ipe
+        # fast-forward the mask collator counter (reference: train.py:326-330)
+        handles.mask_collator.set_counter(start_step - 1)
+
+        logger.info(
+            f"encoder params: {count_parameters(jax.device_get(state.enc_params)):,} | "
+            f"predictor params: {count_parameters(jax.device_get(state.pred_params)):,}"
+        )
+
+        total = 0
+        summary = {}
+        loss_meter = AverageMeter()
+        data_iter = iter(handles.loader)
+        if cfg.data.skip_batches > 0:
+            logger.info(f"skipping {cfg.data.skip_batches} batches")
+            for _ in range(cfg.data.skip_batches):
+                try:
+                    next(data_iter)
+                except StopIteration:
+                    data_iter = iter(handles.loader)
+        for epoch in range(start_epoch, cfg.optimization.epochs):
+            handles.loader.set_epoch(epoch)
+            loss_meter.reset()
+            time_meter = AverageMeter()
+            for itr in range(ipe):
+                t_iter = time.perf_counter()
+                try:
+                    video, audio, _, masks = next(data_iter)
+                except StopIteration:
+                    data_iter = iter(handles.loader)
+                    video, audio, _, masks = next(data_iter)
+                with StepTimer() as t:
+                    state, metrics = handles.step(state, video, audio, masks)
+                    metrics = jax.device_get(metrics)
+                iter_ms = (time.perf_counter() - t_iter) * 1000
+                loss = float(metrics["loss"])
+                loss_meter.update(loss)
+                time_meter.update(t.elapsed_ms)
+                csv_logger.log(
+                    epoch + 1, itr, loss, float(metrics["loss_jepa"]),
+                    float(metrics["loss_reg"]), float(metrics["enc_grad_norm"]),
+                    float(metrics["pred_grad_norm"]), float(metrics["enc_grad_avg"]),
+                    float(metrics["enc_grad_first_qkv"]),
+                    float(metrics["enc_grad_last_qkv"]),
+                    float(metrics["opt_mu_abs"]), float(metrics["opt_nu_abs"]),
+                    t.elapsed_ms, iter_ms,
+                )
+                if itr % cfg.logging.log_freq == 0:
+                    logger.info(
+                        f"[{epoch + 1}, {itr:5d}] loss: {loss_meter.avg:.3f} "
+                        f"| p{float(metrics['loss_jepa']):.3f} r{float(metrics['loss_reg']):.3f} "
+                        f"| input_var: {float(metrics['input_var']):.3f} "
+                        f"| masks: {np.array2string(metrics['mask_sizes'], precision=0)} "
+                        f"[wd: {float(metrics['wd']):.2e}] [lr: {float(metrics['lr']):.2e}] "
+                        f"[g: {float(metrics['enc_grad_avg']):.2e} "
+                        f"f{float(metrics['enc_grad_first_qkv']):.2e} "
+                        f"l{float(metrics['enc_grad_last_qkv']):.2e}] "
+                        f"[step: {time_meter.avg:.1f} ms]"
+                    )
+                assert np.isfinite(loss), "loss is not finite"
+                total += 1
+                if max_steps is not None and total >= max_steps:
+                    break
+                if total % preempt_poll_steps == 0 and _preempt_agreed():
+                    break
+            # one agreed snapshot for ALL epoch-end control flow: the raw flag
+            # can flip asynchronously mid-epilogue on one host only
+            preempt_now = _preempt_agreed()
+            if (
+                epoch % cfg.logging.checkpoint_freq == 0
+                or epoch == cfg.optimization.epochs - 1
+                or (max_steps is not None and total >= max_steps)
+                or preempt_now
+            ):
+                # distributed save: every host participates and Orbax writes each
+                # shard from the host that owns it — a process-0 device_get would
+                # fail on non-fully-addressable FSDP-sharded arrays (the folder
+                # must be shared storage on real multi-host topologies).
+                # Reference saved replicated state from rank 0 only
+                # (app/avjepa/train.py:332-350).
+                ckpt.save(int(jax.device_get(state.step)), state)
+                # tagged archive copies every save_every_freq epochs
+                # (reference: train.py:639-644) — kept forever, outside the
+                # rolling latest window
+                if (
+                    cfg.logging.save_every_freq > 0
+                    and epoch % cfg.logging.save_every_freq == 0
+                ):
+                    archive = CheckpointManager(
+                        os.path.join(folder, f"{tag}-archive"), max_to_keep=10_000
+                    )
+                    archive.save(int(jax.device_get(state.step)), state)
+                    archive.close()
+            summary = {
+                "epoch": epoch + 1,
+                "avg_loss": loss_meter.avg,
+                "avg_step_ms": time_meter.avg,
+            }
             if max_steps is not None and total >= max_steps:
                 break
-            if total % preempt_poll_steps == 0 and _preempt_agreed():
-                break
-        # one agreed snapshot for ALL epoch-end control flow: the raw flag
-        # can flip asynchronously mid-epilogue on one host only
-        preempt_now = _preempt_agreed()
-        if (
-            epoch % cfg.logging.checkpoint_freq == 0
-            or epoch == cfg.optimization.epochs - 1
-            or (max_steps is not None and total >= max_steps)
-            or preempt_now
-        ):
-            # distributed save: every host participates and Orbax writes each
-            # shard from the host that owns it — a process-0 device_get would
-            # fail on non-fully-addressable FSDP-sharded arrays (the folder
-            # must be shared storage on real multi-host topologies).
-            # Reference saved replicated state from rank 0 only
-            # (app/avjepa/train.py:332-350).
-            ckpt.save(int(jax.device_get(state.step)), state)
-            # tagged archive copies every save_every_freq epochs
-            # (reference: train.py:639-644) — kept forever, outside the
-            # rolling latest window
-            if (
-                cfg.logging.save_every_freq > 0
-                and epoch % cfg.logging.save_every_freq == 0
-            ):
-                archive = CheckpointManager(
-                    os.path.join(folder, f"{tag}-archive"), max_to_keep=10_000
+            if preempt_now:
+                saved = int(jax.device_get(state.step))
+                logger.warning(
+                    f"preempted: checkpoint saved at step {saved}; restart with "
+                    "AVJEPA_RESUME_PREEMPT=1 (or meta.load_checkpoint: true) to resume"
                 )
-                archive.save(int(jax.device_get(state.step)), state)
-                archive.close()
-        summary = {
-            "epoch": epoch + 1,
-            "avg_loss": loss_meter.avg,
-            "avg_step_ms": time_meter.avg,
-        }
-        if max_steps is not None and total >= max_steps:
-            break
-        if preempt_now:
-            saved = int(jax.device_get(state.step))
-            logger.warning(
-                f"preempted: checkpoint saved at step {saved}; restart with "
-                "AVJEPA_RESUME_PREEMPT=1 (or meta.load_checkpoint: true) to resume"
-            )
-            summary["preempted"] = True
-            break
-    ckpt.close()
-    if monitor is not None:
-        monitor.stop()
-    if prev_handler is not None:
-        signal.signal(signal.SIGTERM, prev_handler)
+                summary["preempted"] = True
+                break
+        ckpt.close()
+        if monitor is not None:
+            monitor.stop()
+    finally:
+        # restore the previous handler even if setup()/the loop raised,
+        # so a later SIGTERM is not silently absorbed by a stale handler
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
     return summary
 
 

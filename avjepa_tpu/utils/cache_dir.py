@@ -18,13 +18,46 @@ import platform as _platform
 
 
 def host_fingerprint() -> str:
-    """Stable fingerprint of this host's CPU feature set."""
+    """Stable fingerprint of this host's CPU identity + feature set.
+
+    The flags line alone is not enough: XLA's AOT target features (e.g.
+    +prefer-no-gather) can differ between CPU models whose cpuinfo flags
+    match, and loading such an entry risks SIGILL — so the model name and
+    vendor are folded in too."""
     try:
         with open("/proc/cpuinfo") as f:
-            cpu = [line for line in f if line.startswith("flags")][0]
+            keys = ("flags", "model name", "vendor_id", "cpu family", "model")
+            seen = {}
+            for line in f:
+                k = line.split(":")[0].strip()
+                if k in keys and k not in seen:
+                    seen[k] = line.strip()
+            cpu = "|".join(seen[k] for k in keys if k in seen)
+            if not cpu:
+                raise IndexError
     except (OSError, IndexError):
         cpu = _platform.processor() or _platform.machine()
     return hashlib.sha1(cpu.encode()).hexdigest()[:10]
+
+
+def default_cache_root() -> str:
+    """Directory to hold the persistent compile cache.
+
+    A source checkout keeps the cache beside the repo (it survives
+    re-installs and is what the bench/CI drivers expect); a wheel install
+    must NOT write into site-packages (read-only or shared across users),
+    so it falls back to the XDG user cache directory.
+    """
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    if os.path.isfile(os.path.join(pkg_root, "pyproject.toml")) and os.access(
+        pkg_root, os.W_OK
+    ):
+        return pkg_root
+    xdg = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    return os.path.join(xdg, "avjepa_tpu")
 
 
 def compile_cache_dir(root: str, platform_name: str) -> str:

@@ -21,6 +21,10 @@ def get_logger(name: str | None = None, rank: int = 0) -> logging.Logger:
             logging.Formatter("[%(asctime)s %(levelname)s] %(message)s")
         )
         logger.addHandler(handler)
+    # don't ALSO propagate to the root logger: absl/jax installs a root
+    # handler, which would emit every record twice (and line-counting
+    # consumers, e.g. the preemption test, would see doubled step logs)
+    logger.propagate = False
     logger.setLevel(logging.INFO if rank == 0 else logging.ERROR)
     return logger
 

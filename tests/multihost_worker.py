@@ -234,6 +234,15 @@ def run_golden(jax, outdir: str) -> dict:
                     if m.enc_idx is not None
                     else None
                 ),
+                # union_idx must ride along too: without it the golden step
+                # silently falls back to the DENSE predictor while the
+                # 2-host run it is compared against runs the COMPACTED one —
+                # the comparison would span two numeric paths
+                union_idx=(
+                    np.concatenate([m.union_idx] * 2, axis=0)
+                    if m.union_idx is not None
+                    else None
+                ),
             )
             for m in local_masks
         ]

@@ -227,3 +227,59 @@ def test_missing_checkpoint_is_an_error(tmp_path):
     cfg.allow_missing_checkpoint = True
     summary = run_image(cfg, max_steps=1)
     assert "val_top1" in summary
+
+
+def test_val_loader_excludes_corrupt_file_from_metric(tmp_path, monkeypatch):
+    """VAL path: a corrupt file must NOT be silently replaced by a resampled
+    other sample (which would double-score it); the slot is excluded via the
+    appended ok mask while batch shapes stay static."""
+    import avjepa_tpu.evals.image_classification as ic
+    from avjepa_tpu.data.loader import (
+        JepaLoader,
+        ShardedSampler,
+        exact_val_collate,
+    )
+
+    monkeypatch.setattr(ic, "VideoFile", _CorruptSometimesVideoFile)
+    csv = tmp_path / "index.csv"
+    csv.write_text("".join(f"/fake/img_{i}.jpg {i % 3}\n" for i in range(8)))
+    cfg = ic.ImageEvalConfig(dataset_train=str(csv), dataset_val=str(csv), resolution=32)
+    ds = ic.ImageDataset(cfg, train=False)
+
+    def collate(samples):
+        return (
+            np.stack([s[0] for s in samples]),
+            np.asarray([s[1] for s in samples]),
+        )
+
+    sampler = ShardedSampler(len(ds), batch_size=4, shuffle=False, num_shards=1, shard_index=0)
+    loader = JepaLoader(
+        ds, sampler, num_workers=2,
+        collate=exact_val_collate(collate), retry_resample=False,
+    )
+    batches = list(loader)
+    loader.close()
+    assert len(batches) == 2
+    oks = np.concatenate([b[2] for b in batches])
+    # exactly one corrupt sample (index 1) excluded; shapes still static
+    assert oks.sum() == 7 and not oks[1]
+    for imgs, labels, ok in batches:
+        assert imgs.shape == (4, 32, 32, 3)
+        assert np.isfinite(imgs).all()
+
+
+def test_env_flag_tolerant_parsing(monkeypatch):
+    """Preemption supervisors set e.g. AVJEPA_RESUME_PREEMPT=true; the parse
+    must not crash on non-integer spellings."""
+    from avjepa_tpu.utils import env_flag
+
+    for val, expect in [
+        ("1", True), ("true", True), ("YES", True), ("on", True),
+        ("0", False), ("false", False), ("", False), ("off", False),
+        ("garbage", False),
+    ]:
+        monkeypatch.setenv("AVJEPA_TEST_FLAG", val)
+        assert env_flag("AVJEPA_TEST_FLAG") is expect, (val, expect)
+    monkeypatch.delenv("AVJEPA_TEST_FLAG")
+    assert env_flag("AVJEPA_TEST_FLAG") is False
+    assert env_flag("AVJEPA_TEST_FLAG", default=True) is True

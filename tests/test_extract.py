@@ -175,3 +175,41 @@ def test_extract_from_pretrain_checkpoint(tmp_path):
     zc = np.load(os.path.join(out_ck["output"], "features_r0.npz"))
     assert zr["embeddings"].shape == zc["embeddings"].shape
     assert not np.allclose(zr["embeddings"], zc["embeddings"])
+
+
+def test_extract_mean_spills_chunks_beyond_chunk_rows(tmp_path):
+    """Mean mode must not accumulate the whole run in host memory: a run
+    larger than one chunk spills features_r0_{k}.npz chunks (and does NOT
+    write the single-file name); all rows still covered exactly once."""
+    d = _cfg(str(tmp_path))
+    d["extract"] = {
+        "pooling": "mean", "allow_random": True, "limit": 10, "chunk_rows": 4,
+    }
+    out = app_main("extract", d)
+    assert out["rows_written"] == 10
+    assert not os.path.exists(os.path.join(out["output"], "features_r0.npz"))
+    files = sorted(
+        f for f in os.listdir(out["output"]) if f.startswith("features_r0_")
+    )
+    assert len(files) == 3  # 4 + 4 + 2 rows
+    idxs = []
+    for f in files:
+        z = np.load(os.path.join(out["output"], f))
+        assert z["embeddings"].shape[1] == 192
+        assert len(z["indices"]) <= 4
+        idxs.extend(z["indices"].tolist())
+    assert sorted(idxs) == list(range(10))
+
+
+def test_extract_mean_exact_chunk_keeps_single_file(tmp_path):
+    """A run that fits exactly one chunk keeps the documented single-file
+    features_r0.npz format (sorted indices)."""
+    d = _cfg(str(tmp_path))
+    d["extract"] = {
+        "pooling": "mean", "allow_random": True, "limit": 8, "chunk_rows": 8,
+    }
+    out = app_main("extract", d)
+    assert out["rows_written"] == 8
+    z = np.load(os.path.join(out["output"], "features_r0.npz"))
+    assert z["indices"].tolist() == list(range(8))
+    assert z["embeddings"].shape == (8, 192)

@@ -4,6 +4,7 @@ app/main_distributed.py:65-67; the TPU runbook is COVERAGE.md's
 supervisor-restart + AVJEPA_RESUME_PREEMPT=1)."""
 
 import os
+import re
 import signal
 import subprocess
 import sys
@@ -52,13 +53,18 @@ def test_sigterm_checkpoints_and_resume(tmp_path):
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
-    # wait for a few training iterations, then preempt
-    saw_loss = 0
+    # wait for a few training iterations, then preempt. Count DISTINCT
+    # iteration indices, not raw "loss:" matches — a duplicated log handler
+    # (root-logger propagation) once double-printed each step line and made
+    # 3 matches ≈ 1.5 completed steps
+    seen_itrs = set()
     deadline = time.time() + 1200
     for line in proc.stdout:
-        if "loss:" in line:
-            saw_loss += 1
-        if saw_loss >= 3:
+        # iteration tag is the "[epoch, itr]" prefix before "loss:"
+        m = re.search(r"\[(\d+),\s*(\d+)\] loss:", line)
+        if m:
+            seen_itrs.add((m.group(1), m.group(2)))
+        if len(seen_itrs) >= 3:
             break
         if time.time() > deadline:
             proc.kill()
