@@ -161,13 +161,25 @@ class Compose:
         # workers' hot path) whether it accepts the rng; decided by signature,
         # not by catching TypeError (which would swallow genuine TypeErrors
         # raised inside the transform and re-run it). The second parameter
-        # must actually be named 'rng' so arbitrary two-arg callables don't
-        # silently receive a Generator.
+        # must be named 'rng' or 'generator' so arbitrary two-arg callables
+        # don't silently receive a Generator; a two-arg transform named
+        # otherwise gets a loud construction-time warning instead of silently
+        # losing per-sample determinism.
         self._takes_rng = []
         for t in self.transforms:
             try:
                 params = list(inspect.signature(t).parameters)
-                takes = len(params) >= 2 and params[1] == "rng"
+                takes = len(params) >= 2 and params[1] in ("rng", "generator")
+                if len(params) >= 2 and not takes:
+                    import warnings
+
+                    warnings.warn(
+                        f"Compose: transform {t!r} takes a second parameter "
+                        f"{params[1]!r}; name it 'rng' (or 'generator') to "
+                        "receive the seeded np.random.Generator — it will "
+                        "NOT be passed one",
+                        stacklevel=2,
+                    )
             except (TypeError, ValueError):
                 takes = False
             self._takes_rng.append(takes)

@@ -84,9 +84,12 @@ class ImageEvalConfig:
 
 
 def config_from_yaml(d: dict) -> ImageEvalConfig:
-    data = d.get("data", {})
-    opt = d.get("optimization", {})
-    pre = d.get("pretrain", {})
+    # a bare section key ("logging:" with no body) parses to None, not {} —
+    # same guard as app/main_distributed.py
+    sec = lambda k: d.get(k) or {}
+    data = sec("data")
+    opt = sec("optimization")
+    pre = sec("pretrain")
     return ImageEvalConfig(
         image_folder=data.get("image_folder", ""),
         dataset_train=data.get("dataset_train", ""),
@@ -94,7 +97,7 @@ def config_from_yaml(d: dict) -> ImageEvalConfig:
         num_classes=data.get("num_classes", 1000),
         resolution=opt.get("resolution", 224),
         batch_size=opt.get("batch_size", 16),
-        num_workers=d.get("data", {}).get("num_workers", 8),
+        num_workers=data.get("num_workers", 8),
         num_epochs=opt.get("num_epochs", 20),
         lr=opt.get("lr", 1e-3),
         start_lr=opt.get("start_lr", 1e-3),
@@ -110,10 +113,10 @@ def config_from_yaml(d: dict) -> ImageEvalConfig:
         checkpoint=os.path.join(pre.get("folder", ""), pre.get("checkpoint", "")),
         allow_missing_checkpoint=pre.get("allow_missing_checkpoint", False),
         resume_checkpoint=opt.get("resume_checkpoint", False),
-        folder=d.get("folder", d.get("logging", {}).get("folder", "./eval_logs")),
+        folder=d.get("folder", (d.get("logging") or {}).get("folder", "./eval_logs")),
         tag=d.get("tag", "image-eval"),
         source=data.get("source", "files"),
-        gelu=d.get("tpu", {}).get("gelu", pre.get("gelu", "tanh")),
+        gelu=(d.get("tpu") or {}).get("gelu", pre.get("gelu", "tanh")),
     )
 
 

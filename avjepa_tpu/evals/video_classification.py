@@ -92,9 +92,12 @@ class VideoEvalConfig:
 
 
 def config_from_yaml(d: dict) -> VideoEvalConfig:
-    data = d.get("data", {})
-    opt = d.get("optimization", {})
-    pre = d.get("pretrain", {})
+    # a bare section key ("logging:" with no body) parses to None, not {} —
+    # same guard as app/main_distributed.py
+    sec = lambda k: d.get(k) or {}
+    data = sec("data")
+    opt = sec("optimization")
+    pre = sec("pretrain")
     return VideoEvalConfig(
         dataset_train=data.get("dataset_train", ""),
         dataset_val=data.get("dataset_val", ""),
@@ -127,10 +130,10 @@ def config_from_yaml(d: dict) -> VideoEvalConfig:
         checkpoint_key=pre.get("checkpoint_key", "target_encoder"),
         allow_missing_checkpoint=pre.get("allow_missing_checkpoint", False),
         resume_checkpoint=opt.get("resume_checkpoint", False),
-        folder=d.get("folder", d.get("logging", {}).get("folder", "./eval_logs")),
+        folder=d.get("folder", (d.get("logging") or {}).get("folder", "./eval_logs")),
         tag=d.get("tag", "video-eval"),
         source=data.get("source", "files"),
-        gelu=d.get("tpu", {}).get("gelu", pre.get("gelu", "tanh")),
+        gelu=(d.get("tpu") or {}).get("gelu", pre.get("gelu", "tanh")),
     )
 
 

@@ -39,20 +39,28 @@ def init_distributed() -> None:
     real-data chain run spent ~70% of its first epoch compiling). Opt out
     with AVJEPA_COMPILE_CACHE=0 or point it elsewhere via
     JAX_COMPILATION_CACHE_DIR."""
-    if int(os.environ.get("AVJEPA_MULTIHOST", "0")):
+    from avjepa_tpu.utils import env_flag
+
+    if env_flag("AVJEPA_MULTIHOST"):
         # must precede any backend initialization (default_backend below)
         jax.distributed.initialize()
-    if int(os.environ.get("AVJEPA_COMPILE_CACHE", "1")):
-        from avjepa_tpu.utils.cache_dir import compile_cache_dir, default_cache_root
+    if env_flag("AVJEPA_COMPILE_CACHE", default=True):
+        from avjepa_tpu.utils.cache_dir import (
+            active_platform,
+            compile_cache_dir,
+            default_cache_root,
+        )
 
         # source checkout → repo root; wheel install → XDG user cache
         # (never write into site-packages)
         root = default_cache_root()
         # positive backend detection: env vars alone miss the
         # defaulted-to-CPU case, which would share the ISA-unsafe .jax_cache
-        plat = (os.environ.get("JAX_PLATFORM_NAME")
-                or os.environ.get("JAX_PLATFORMS")
-                or jax.default_backend())
+        plat = active_platform(
+            os.environ.get("JAX_PLATFORM_NAME"),
+            os.environ.get("JAX_PLATFORMS"),
+            jax.default_backend,
+        )
         cache = os.environ.get(
             "JAX_COMPILATION_CACHE_DIR", compile_cache_dir(root, plat)
         )

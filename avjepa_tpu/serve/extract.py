@@ -323,8 +323,27 @@ def main(args: dict, resume_preempt: bool = False) -> dict:
         for r in done_rows:
             f.write(f"{int(r)},{paths[int(r)]},{int(labels[int(r)])}\n")
 
+    # owned rows that never arrived: the loader's retry-resample swallows a
+    # failed decode by substituting a DIFFERENT index (right for training,
+    # lossy for extraction) — name every dropped row so incomplete coverage
+    # is loud and diagnosable, not a buried rows_written < rows_total
+    owned = np.arange(sampler.shard_index, n_total, sampler.num_shards)
+    missing = owned[~written[owned]]
+    if missing.size:
+        with open(os.path.join(out_dir, f"missing_r{rank}.csv"), "w") as f:
+            f.write("row,path\n")
+            for r in missing:
+                f.write(f"{int(r)},{paths[int(r)]}\n")
+        shown = ", ".join(paths[int(r)] for r in missing[:5])
+        logger.warning(
+            f"extract: {missing.size} owned row(s) produced no embedding "
+            f"(decode failures; resampled substitutes are deduplicated) — "
+            f"see missing_r{rank}.csv. First: {shown}"
+        )
+
     summary = {
         "rows_written": int(written.sum()),
+        "rows_missing": int(missing.size),
         "rows_total": n_total,
         "dim": dim,
         "tokens": layout.num_tokens if ex.pooling == "tokens" else 1,

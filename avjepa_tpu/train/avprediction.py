@@ -147,7 +147,11 @@ def setup_probe(cfg: ExperimentConfig, mesh=None):
     return handles, probe, probe_state, step_fn
 
 
-def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
+def run(
+    cfg: ExperimentConfig,
+    max_steps: Optional[int] = None,
+    resume_preempt: bool = False,
+) -> dict:
     logger = get_logger(rank=jax.process_index())
     handles, probe, probe_state, step_fn = setup_probe(cfg)
 
@@ -188,11 +192,27 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
     )
     ckpt = CheckpointManager(os.path.join(folder, f"{tag}-probe-ckpt"))
     last_saved = -1
+    start_epoch = 0
+    if resume_preempt and ckpt.latest_step() is not None:
+        # resume the PROBE itself (the frozen JEPA weights above are
+        # deterministic); saves are per-epoch, so completed epochs are
+        # recovered from the restored optimizer step
+        restored = ckpt.restore(jax.device_get(probe_state))
+        if restored is not None:
+            probe_state = restored
+            last_saved = int(np.asarray(probe_state.step))
+            start_epoch = min(
+                last_saved // max(cfg.optimization.ipe, 1),
+                cfg.optimization.epochs,
+            )
+            logger.info(
+                f"resumed probe from step {last_saved} (epoch {start_epoch})"
+            )
 
     total = 0
     summary = {}
     data_iter = iter(handles.loader)
-    for epoch in range(cfg.optimization.epochs):
+    for epoch in range(start_epoch, cfg.optimization.epochs):
         handles.loader.set_epoch(epoch)
         meter = AverageMeter()
         for itr in range(cfg.optimization.ipe):
@@ -255,7 +275,7 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
 
 def main(args: dict, resume_preempt: bool = False):
     cfg = load_config(args)
-    return run(cfg)
+    return run(cfg, resume_preempt=resume_preempt)
 
 
 def example_main(args: dict, resume_preempt: bool = False):

@@ -60,6 +60,22 @@ def default_cache_root() -> str:
     return os.path.join(xdg, "avjepa_tpu")
 
 
+def active_platform(env_platform_name, env_platforms, backend_fn) -> str:
+    """Resolve which JAX platform is actually active for cache routing.
+
+    Prefers the env vars (cheap, no backend init), but a comma list
+    (``JAX_PLATFORMS=tpu,cpu``) is a priority order, not a platform — which
+    entry actually initialized is only knowable from the backend itself, so
+    that case (and the unset case) asks ``backend_fn()``. String-matching the
+    list would route TPU executables into a host-fingerprinted CPU dir (cache
+    never shared) or, worse, CPU executables into the shared accelerator dir
+    (ISA-unsafe)."""
+    plat = env_platform_name or env_platforms or ""
+    if not plat or "," in plat:
+        return backend_fn()
+    return plat
+
+
 def compile_cache_dir(root: str, platform_name: str) -> str:
     """Cache dir under ``root`` for the given JAX platform name.
 

@@ -27,6 +27,14 @@ class CheckpointManager:
         self.mngr = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, step: int, state: Any, force: bool = False) -> None:
+        if force and step in self.mngr.all_steps():
+            # force means "this state wins": a rerun into the same folder
+            # re-emits an existing step id, and Orbax raises
+            # StepAlreadyExistsError rather than overwriting — drop the old
+            # step first. delete() is a collective (primary host removes,
+            # then a global sync barrier), so like save() it must be called
+            # on ALL hosts — which this is, since save() already is.
+            self.mngr.delete(step)
         self.mngr.save(step, args=ocp.args.StandardSave(state), force=force)
         self.mngr.wait_until_finished()
 

@@ -101,3 +101,37 @@ def test_probe_video_only_run_entrypoint(tmp_path):
     cfg.data.dataset_type = "videodataset"
     summary = avprediction.run(cfg, max_steps=1)
     assert np.isfinite(summary["avg_loss"])
+
+
+def test_avprediction_resume_preempt(tmp_path):
+    """A preempted probe run relaunched with resume_preempt=True restores the
+    probe from its own checkpoint and skips completed epochs, instead of
+    silently retraining from step 0 and clobbering the saved probe."""
+    import os
+
+    from avjepa_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = make_cfg(tmp_path)
+    cfg.optimization.epochs = 2
+    cfg.raw["optimization"]["epochs"] = 2  # main() below reloads from raw
+    # first run: completes epoch 1 (ipe=2 -> save at step 2), then "dies"
+    avprediction.run(cfg, max_steps=2)
+    probe_dir = os.path.join(str(tmp_path), "avpred-probe-ckpt")
+    ck = CheckpointManager(probe_dir)
+    assert ck.latest_step() == 2
+    ck.close()
+    # relaunch through the registry entrypoint, as the runbook does
+    summary = avprediction.main(cfg.raw, resume_preempt=True)
+    assert summary["epoch"] == 2  # epoch 1 was skipped, epoch 2 ran
+    ck = CheckpointManager(probe_dir)
+    assert ck.latest_step() == 4  # resumed from 2 and advanced, not from 0
+    ck.close()
+
+
+def test_avprediction_resume_without_flag_restarts(tmp_path):
+    """Without resume_preempt the run retrains from scratch (reference
+    behavior: probe training is cheap and restart-by-default)."""
+    cfg = make_cfg(tmp_path)
+    avprediction.run(cfg)  # epochs=1, saves step 2
+    summary = avprediction.run(cfg)
+    assert summary["epoch"] == 1

@@ -41,3 +41,16 @@ def test_eval_config_valid(path):
 
     assert cfg.model_name in VIT_SPECS
     assert cfg.batch_size > 0 and cfg.num_epochs > 0
+
+
+def test_eval_config_tolerates_bare_sections():
+    """A bare YAML section key ('logging:' with no body) parses to None;
+    config_from_yaml must fall back to defaults, not AttributeError."""
+    from avjepa_tpu.evals import image_classification, video_classification
+
+    d = {"data": None, "optimization": None, "pretrain": None,
+         "logging": None, "tpu": None}
+    icfg = image_classification.config_from_yaml(d)
+    assert icfg.folder == "./eval_logs" and icfg.resolution == 224
+    vcfg = video_classification.config_from_yaml(d)
+    assert vcfg.folder == "./eval_logs"

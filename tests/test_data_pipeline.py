@@ -361,3 +361,53 @@ def test_sampler_batch_valid_masks_exact_cover():
     rows = np.concatenate(list(s))
     valid = np.concatenate(list(s.batch_valid_masks()))
     np.testing.assert_array_equal(np.sort(rows[valid]), np.arange(10))
+
+
+def test_active_platform_routing():
+    """Comma-list JAX_PLATFORMS is a priority order, not a platform — cache
+    routing must ask the backend; plain names pass through without backend
+    init."""
+    from avjepa_tpu.utils.cache_dir import active_platform, compile_cache_dir
+
+    backend = lambda: "tpu"
+    assert active_platform("tpu", None, lambda: 1 / 0) == "tpu"
+    assert active_platform(None, "cpu", lambda: 1 / 0) == "cpu"
+    assert active_platform(None, "tpu,cpu", backend) == "tpu"
+    assert active_platform(None, None, backend) == "tpu"
+    # and the resolved platform routes to the shared accelerator dir,
+    # not the host-fingerprinted CPU dir
+    assert compile_cache_dir("/r", active_platform(None, "tpu,cpu", backend)) \
+        == "/r/.jax_cache"
+
+
+def test_compose_rng_dispatch_and_warning():
+    """Compose passes the seeded rng to 'rng'/'generator'-named second params
+    and warns (rather than silently skipping) on other two-arg transforms."""
+    import warnings
+
+    import numpy as np
+
+    from avjepa_tpu.data.video_transforms import Compose
+
+    got = {}
+
+    def takes_rng(clip, rng):
+        got["rng"] = rng
+        return clip
+
+    def takes_generator(clip, generator):
+        got["generator"] = generator
+        return clip
+
+    def takes_other(clip, scale=1.0):
+        got["other"] = scale
+        return clip
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        c = Compose([takes_rng, takes_generator, takes_other])
+    assert len(w) == 1 and "scale" in str(w[0].message)
+    rng = np.random.default_rng(0)
+    c(np.zeros((2, 4, 4, 3), np.float32), rng)
+    assert got["rng"] is rng and got["generator"] is rng
+    assert got["other"] == 1.0  # called without the rng

@@ -213,3 +213,45 @@ def test_extract_mean_exact_chunk_keeps_single_file(tmp_path):
     z = np.load(os.path.join(out["output"], "features_r0.npz"))
     assert z["indices"].tolist() == list(range(8))
     assert z["embeddings"].shape == (8, 192)
+
+
+def test_extract_reports_dropped_rows(tmp_path):
+    """A permanently undecodable file must not vanish silently: the loader's
+    retry-resample substitutes a different clip (deduplicated on write), and
+    extract names the dropped row in missing_r{rank}.csv + the summary."""
+    from avjepa_tpu.data.video_decoder import write_test_video
+
+    media = tmp_path / "media"
+    media.mkdir()
+    csv = tmp_path / "list.csv"
+    with open(csv, "w") as f:
+        for i in range(3):
+            p = str(media / f"clip{i}.avi")
+            if i == 1:
+                with open(p, "wb") as g:
+                    g.write(b"garbage, not a container")
+            else:
+                write_test_video(p, n_frames=24, w=64, h=48, fps=25.0,
+                                 with_audio=True)
+            f.write(f"{p} {i}\n")
+
+    d = _cfg(str(tmp_path / "run"))
+    d["data"] = {
+        "source": "files",
+        "dataset_type": "audiovideodataset",
+        "datasets": [str(csv)],
+        "batch_size": 2,
+        "num_frames": 4,
+        "tubelet_size": 2,
+        "sampling_rate": 2,
+        "crop_size": 32,
+        "patch_size": 16,
+        "num_workers": 1,
+    }
+    d["extract"] = {"pooling": "mean", "allow_random": True}
+    out = app_main("extract", d)
+    assert out["rows_written"] == 2 and out["rows_missing"] == 1
+    missing = open(os.path.join(out["output"], "missing_r0.csv")).read()
+    assert "clip1.avi" in missing
+    z = np.load(os.path.join(out["output"], "features_r0.npz"))
+    assert sorted(z["indices"].tolist()) == [0, 2]
