@@ -29,7 +29,10 @@ Outputs under ``extract.output`` (default <logging.folder>/<tag>-features):
   - pooling 'tokens': tokens_r{rank}_{k}.npz chunks {indices, embeddings
     [n, N, D]} (``extract.chunk_rows`` rows per chunk)
   - index_r{rank}.csv: global row -> media path, label
-  - summary_r{rank}.json: row counts, dim, clips/sec
+  - missing_r{rank}.csv: owned rows that produced NO embedding (permanently
+    undecodable files — retry-resample substitutes a different clip, which
+    dedup discards), plus a logged warning and summary rows_missing count
+  - summary_r{rank}.json: row counts (written/missing/total), dim, clips/sec
 
 The reference has no analog (no inference entry point at all); the closest
 reference machinery reused here is the frozen-eval encoder loading
