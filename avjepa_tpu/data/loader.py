@@ -80,7 +80,16 @@ def exact_val_collate(collate):
     same batch (keeping batch shapes static, no recompiles) and a per-slot
     ``ok`` mask is appended to the collate's outputs; the val metric ANDs it
     with its wrap-padding validity so a corrupt file is excluded from top-1
-    (and loudly logged) instead of silently scoring a substituted sample."""
+    (and loudly logged) instead of silently scoring a substituted sample.
+
+    An ENTIRE batch failing to decode still emits a batch (filler from the
+    last good sample seen, ok=all-False) rather than raising: on a multi-host
+    eval, one host raising while its peers proceed into the psum collective
+    hangs the job; an all-False batch keeps every host in lockstep and the
+    slots simply don't count. Only an all-failed FIRST batch (no shape donor
+    yet, dataset presumably unreadable) raises."""
+
+    last_good = []  # closure cell: most recent decodable sample
 
     def wrapped(samples):
         ok = np.asarray(
@@ -95,9 +104,17 @@ def exact_val_collate(collate):
                 "the metric"
             )
             if not ok.any():
-                raise RuntimeError("entire val batch failed to decode")
-            good = samples[int(np.argmax(ok))]
-            samples = [s if o else good for s, o in zip(samples, ok)]
+                if not last_good:
+                    raise RuntimeError(
+                        "entire first val batch failed to decode (no shape "
+                        "donor for an all-False batch); dataset unreadable?"
+                    )
+                samples = [last_good[0]] * len(samples)
+            else:
+                good = samples[int(np.argmax(ok))]
+                samples = [s if o else good for s, o in zip(samples, ok)]
+        if ok.any():
+            last_good[:] = [samples[int(np.argmax(ok))]]
         out = collate(samples)
         if not isinstance(out, tuple):
             out = (out,)

@@ -2,10 +2,12 @@
 
 Behavioral equivalent of the reference's vendored PIL-op RandAugment with the
 ``rand-m7-n4-mstd0.5-inc1`` policy used by the pretraining transform
-(reference: src/datasets/utils/video/randaugment.py;
+(reference: src/datasets/utils/video/randaugment.py:27,189-264,352-369;
 src/datasets/utils/video/transforms.py:625-659): per clip, pick N=4 ops at
-random; each op's magnitude is 7/30 of its range, jittered by N(0, 0.5) and
-clipped; 'inc1' makes magnitude increase severity. The same op+magnitude is
+random; each op fires with probability 0.5 (AugmentOp prob=0.5); its
+magnitude is m/10 of its range, jittered by N(0, 0.5) and clipped to
+[0, 10]; 'inc1' makes magnitude increase severity (PosterizeIncreasing,
+SolarizeIncreasing, *Increasing enhance ops). The same op+magnitude is
 applied to every frame of the clip (temporal consistency, as the reference
 applies one augment to the PIL frame list).
 """
@@ -14,7 +16,10 @@ from __future__ import annotations
 
 import numpy as np
 
-_MAX_LEVEL = 30.0
+# timm's controller-RNN magnitude ceiling (reference randaugment.py:27).
+# All level->arg mappings divide by this, so a policy magnitude of 7 means
+# 7/10 of each op's full range.
+_MAX_LEVEL = 10.0
 
 
 def _affine(clip: np.ndarray, matrix: np.ndarray, fill: float = 128.0) -> np.ndarray:
@@ -108,7 +113,14 @@ def solarize_add(clip, add, thresh=128.0):
 
 
 def posterize(clip, bits):
-    bits = int(max(1, bits))
+    """Keep the top `bits` bits of each channel (PIL ImageOps.posterize).
+
+    bits >= 8 is the reference's explicit no-op (randaugment.py:289-292);
+    bits == 0 blacks the image out, matching PIL's mask = ~(2**(8-bits)-1).
+    """
+    bits = int(np.clip(bits, 0, 8))
+    if bits >= 8:
+        return clip.astype(np.float32)
     shift = 8 - bits
     return ((clip.astype(np.uint8) >> shift) << shift).astype(np.float32)
 
@@ -141,7 +153,16 @@ def sharpness(clip, factor):
     return np.clip(blurred + factor * (c - blurred), 0, 255)
 
 
-# (name, fn, level -> arg) with 'inc1' increasing-severity mappings
+# (name, fn, level -> arg) with 'inc1' increasing-severity mappings,
+# argument-for-argument equal to the reference's LEVEL_TO_ARG entries for
+# _RAND_INCREASING_TRANSFORMS (reference randaugment.py:189-264,391-407):
+#   Rotate          level/10 * 30, signed
+#   PosterizeIncreasing  4 - int(level/10 * 4) kept bits
+#   SolarizeIncreasing   256 - int(level/10 * 256) threshold
+#   SolarizeAdd     int(level/10 * 110)
+#   *Increasing enhance  1.0 +/- level/10 * 0.9
+#   ShearX/Y        level/10 * 0.3, signed
+#   TranslateX/YRel level/10 * 0.45 of the dimension, signed
 def _lvl(level, maxval, signed, rng):
     v = level / _MAX_LEVEL * maxval
     if signed and rng.random() < 0.5:
@@ -154,8 +175,8 @@ OPS = [
     ("Equalize", equalize, lambda l, r: 0),
     ("Invert", invert, lambda l, r: 0),
     ("Rotate", rotate, lambda l, r: _lvl(l, 30.0, True, r)),
-    ("Posterize", posterize, lambda l, r: 8 - int(l / _MAX_LEVEL * 4)),
-    ("Solarize", solarize, lambda l, r: 255 - int(l / _MAX_LEVEL * 255)),
+    ("Posterize", posterize, lambda l, r: 4 - int(l / _MAX_LEVEL * 4)),
+    ("Solarize", solarize, lambda l, r: 256 - int(l / _MAX_LEVEL * 256)),
     ("SolarizeAdd", solarize_add, lambda l, r: int(l / _MAX_LEVEL * 110)),
     ("Color", color, lambda l, r: 1.0 + _lvl(l, 0.9, True, r)),
     ("Contrast", contrast, lambda l, r: 1.0 + _lvl(l, 0.9, True, r)),
@@ -175,10 +196,18 @@ def rand_augment_video(
     magnitude: float = 7.0,
     mag_std: float = 0.5,
 ) -> np.ndarray:
-    """[T, H, W, C] uint8 -> float32, rand-m7-n4-mstd0.5 policy."""
+    """[T, H, W, C] uint8 -> float32, rand-m7-n4-mstd0.5-inc1 policy.
+
+    Matches the reference pipeline: RandAugment.__call__ draws num_layers ops
+    with replacement, and each AugmentOp fires with prob=0.5, jittering its
+    magnitude by N(m, mstd) clipped to [0, 10] when it does
+    (reference randaugment.py:330-369,441-456).
+    """
     out = clip.astype(np.float32)
     for _ in range(num_ops):
         name, fn, arg_fn = OPS[int(rng.integers(0, len(OPS)))]
+        if rng.random() > 0.5:  # AugmentOp prob=0.5 gate
+            continue
         level = float(np.clip(rng.normal(magnitude, mag_std), 0, _MAX_LEVEL))
         out = fn(np.clip(out, 0, 255), arg_fn(level, rng))
     return np.clip(out, 0, 255)
@@ -276,7 +305,7 @@ def auto_augment_original(img: np.ndarray, rng: np.random.Generator) -> np.ndarr
             arg = _AA_ARG_OVERRIDES[name](magnitude, rng)
         else:
             # geometric ops (Rotate/ShearX) share the signed OPS mapping;
-            # rescale the 0..10 policy magnitude onto the internal 0..30 scale
-            arg = arg_fn(magnitude / 10.0 * _MAX_LEVEL, rng)
+            # policy magnitudes are already on the 0..10 _MAX_LEVEL scale
+            arg = arg_fn(float(magnitude), rng)
         clip = np.clip(fn(np.clip(clip, 0, 255), arg), 0, 255)
     return clip[0] if squeeze else clip

@@ -244,6 +244,7 @@ def main(args: dict, resume_preempt: bool = False) -> dict:
 
     written = np.zeros(n_total, bool)
     pending: list[tuple[int, np.ndarray]] = []
+    emitted_files: list[str] = []
     chunk_id = 0
     is_mean = ex.pooling == "mean"
     prefix = "features" if is_mean else "tokens"
@@ -273,6 +274,7 @@ def main(args: dict, resume_preempt: bool = False) -> dict:
                 indices=np.asarray([i for i, _ in part], np.int64),
                 embeddings=np.stack([e for _, e in part]),
             )
+            emitted_files.append(name)
 
     t0 = time.time()
     n_clips = 0
@@ -319,6 +321,7 @@ def main(args: dict, resume_preempt: bool = False) -> dict:
             indices=np.zeros(0, np.int64),
             embeddings=np.zeros((0, dim), np.float32),
         )
+        emitted_files.append(f"features_r{rank}.npz")
     dt = time.time() - t0
     done_rows = np.nonzero(written)[0]
     with open(os.path.join(out_dir, f"index_r{rank}.csv"), "w") as f:
@@ -353,6 +356,12 @@ def main(args: dict, resume_preempt: bool = False) -> dict:
         "pooling": ex.pooling,
         "clips_per_sec": round(n_clips / max(dt, 1e-9), 3),
         "output": out_dir,
+        # mean mode switches from the single features_r{rank}.npz to chunked
+        # features_r{rank}_{k}.npz exactly when this rank owns more than
+        # chunk_rows rows — record the layout so consumers detect it
+        # programmatically instead of globbing
+        "chunked": chunk_id > 0,
+        "files": emitted_files,
     }
     with open(os.path.join(out_dir, f"summary_r{rank}.json"), "w") as f:
         json.dump(summary, f)

@@ -357,12 +357,12 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
     except ValueError:  # not the main thread (tests drive run() directly)
         prev_handler = None
 
+    ckpt = None
+    monitor = None
     try:
         handles = setup(cfg)
         state = handles.state
         layout = cfg.layout()
-
-        monitor = None
         if cfg.data.log_resource_utilization:
             # host-resource CSV next to the metrics (reference carries this knob
             # but its monitor was dormant; ours samples /proc)
@@ -547,14 +547,18 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
                 )
                 summary["preempted"] = True
                 break
-        ckpt.close()
-        if monitor is not None:
-            monitor.stop()
     finally:
         # restore the previous handler even if setup()/the loop raised,
-        # so a later SIGTERM is not silently absorbed by a stale handler
+        # so a later SIGTERM is not silently absorbed by a stale handler;
+        # close the Orbax manager and stop the /proc sampler thread likewise
+        # (an exception mid-loop, e.g. the non-finite-loss assert, must not
+        # leak the sampler thread or an unflushed checkpoint manager)
         if prev_handler is not None:
             signal.signal(signal.SIGTERM, prev_handler)
+        if ckpt is not None:
+            ckpt.close()
+        if monitor is not None:
+            monitor.stop()
     return summary
 
 

@@ -19,4 +19,12 @@ def env_flag(name: str, default: bool = False) -> bool:
         return True
     if val in ("0", "false", "no", "off", "n", ""):
         return False
+    # Loud fallback: e.g. a mis-typed AVJEPA_MULTIHOST=ture silently skipping
+    # jax.distributed.initialize() would run a pod as N independent
+    # single-host jobs all writing the same folder.
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s=%r not understood; using %s", name, raw, default
+    )
     return default

@@ -411,3 +411,67 @@ def test_compose_rng_dispatch_and_warning():
     c(np.zeros((2, 4, 4, 3), np.float32), rng)
     assert got["rng"] is rng and got["generator"] is rng
     assert got["other"] == 1.0  # called without the rng
+
+
+def test_randaugment_args_match_reference_at_m7():
+    """Golden per-op argument parity vs the reference's vendored timm
+    LEVEL_TO_ARG at magnitude 7 with the shipped 'inc1' policy (regression:
+    _MAX_LEVEL was 30 instead of 10, applying every op at 1/3 severity and
+    making Posterize a literal no-op at m7)."""
+    import random as _pyrandom
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        ra = pytest.importorskip("src.datasets.utils.video.randaugment")
+    finally:
+        sys.path.remove("/root/reference")
+
+    from avjepa_tpu.data.randaugment import OPS
+
+    # our OPS name -> the reference's increasing-severity ('inc1') entry,
+    # i.e. _RAND_INCREASING_TRANSFORMS (reference randaugment.py:391-407)
+    ref_name = {
+        "Rotate": "Rotate",
+        "Posterize": "PosterizeIncreasing",
+        "Solarize": "SolarizeIncreasing",
+        "SolarizeAdd": "SolarizeAdd",
+        "Color": "ColorIncreasing",
+        "Contrast": "ContrastIncreasing",
+        "Brightness": "BrightnessIncreasing",
+        "Sharpness": "SharpnessIncreasing",
+        "ShearX": "ShearX",
+        "ShearY": "ShearY",
+        "TranslateX": "TranslateXRel",
+        "TranslateY": "TranslateYRel",
+    }
+    hparams = {"translate_const": 250, "translate_pct": 0.45}
+    enhance = {"Color", "Contrast", "Brightness", "Sharpness"}
+    signed = {"Rotate", "ShearX", "ShearY", "TranslateX", "TranslateY"}
+
+    for m in (0.0, 3.0, 7.0, 10.0):
+        for name, _fn, arg_fn in OPS:
+            if name not in ref_name:  # AutoContrast/Equalize/Invert: no arg
+                continue
+            _pyrandom.seed(0)
+            (want,) = ra.LEVEL_TO_ARG[ref_name[name]](m, hparams)
+            rng = np.random.default_rng(0)
+            got = arg_fn(m, rng)
+            if name in enhance:
+                # both are 1.0 +/- m/10*0.9 with an independent random sign
+                assert abs(got - 1.0) == pytest.approx(abs(want - 1.0)), name
+            elif name in signed:
+                assert abs(got) == pytest.approx(abs(want)), (name, m)
+            else:
+                assert got == want, (name, m, got, want)
+
+    # Posterize is no longer a no-op at m7: 2 kept bits actually quantize
+    from avjepa_tpu.data.randaugment import posterize
+
+    arg = dict((n, f) for n, _o, f in OPS)["Posterize"](
+        7.0, np.random.default_rng(0)
+    )
+    assert arg == 2
+    ramp = np.arange(256, dtype=np.uint8).reshape(1, 16, 16, 1)
+    out = posterize(ramp, arg)
+    assert set(np.unique(out)) == {0.0, 64.0, 128.0, 192.0}
