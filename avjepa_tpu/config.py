@@ -144,6 +144,12 @@ class TpuConfig:
     # 'exact' (erf, bit-matches torch nn.GELU default — XLA expands erf into a
     # long branchy f32 polynomial, measured ~100 ms/step on the ViT-L step)
     gelu: str = "tanh"
+    # hot-loop metrics cadence: True runs the diagnostic reductions (per-layer
+    # grad norms, optimizer-moment means, input variance) only on log_freq
+    # steps; False computes them every step like the reference
+    # (app/avjepa/train.py:526-531,560-563). Loss/LR/grad-norm metrics are
+    # identical either way.
+    light_metrics: bool = True
 
 
 @dataclasses.dataclass

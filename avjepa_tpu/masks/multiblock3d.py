@@ -98,12 +98,19 @@ def _dense(keep_lists: list[np.ndarray], n: int) -> np.ndarray:
     return out
 
 
-def _bucket_pad(index_lists: list[np.ndarray], batch_size: int, n: int) -> np.ndarray:
+def _bucket_pad(
+    index_lists: list[np.ndarray], batch_size: int, n: int, min_k: int = 0
+) -> np.ndarray:
     """Rectangular [B, K_pad] int32 index array, K bucketed up to a multiple
     of 128 (bounds recompilation under mask churn) with sentinel ``n``
-    padding so device scatters drop the pad lanes."""
+    padding so device scatters drop the pad lanes.
+
+    ``min_k`` floors the bucket (callers pass a sticky running max so the
+    steady state compiles ONE variant per config instead of one per
+    bucket-size draw — the measured mask-churn tax was 2.3% of step time,
+    BENCH.md; the pad lanes cost only the FLOPs of the bucket delta)."""
     k = len(index_lists[0])
-    k_pad = max(-(-k // 128) * 128, 128)
+    k_pad = max(-(-k // 128) * 128, 128, min_k)
     out = np.full((batch_size, k_pad), n, dtype=np.int32)
     for b, c in enumerate(index_lists):
         out[b, :k] = c
@@ -138,6 +145,12 @@ class _BlockGenerator:
         self.audio_block = audio_block
         self.base_seed = base_seed
         self._counter = -1
+        # sticky bucket floors: once a draw needs a larger K bucket, every
+        # later batch pads to it, so mask churn converges to ONE compiled
+        # step variant per config (identical numerics — pad lanes carry the
+        # sentinel and are dropped on device)
+        self._k_enc_sticky = 0
+        self._k_union_sticky = 0
 
     # counter discipline matches the reference's shared-Value step()
     # (avmultiblock3d.py:105-112); single-process here, the loader drives it.
@@ -246,8 +259,10 @@ class _BlockGenerator:
                 np.sort(np.concatenate([kv, pv]))
                 for kv, pv in zip(keeps_v, preds_v)
             ]
-        enc_idx = _bucket_pad(combined, batch_size, n)
-        union_idx = _bucket_pad(unions, batch_size, n)
+        enc_idx = _bucket_pad(combined, batch_size, n, self._k_enc_sticky)
+        union_idx = _bucket_pad(unions, batch_size, n, self._k_union_sticky)
+        self._k_enc_sticky = enc_idx.shape[1]
+        self._k_union_sticky = union_idx.shape[1]
         return MaskSet(enc=enc, pred=pred, enc_idx=enc_idx, union_idx=union_idx)
 
 

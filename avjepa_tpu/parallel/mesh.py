@@ -114,12 +114,15 @@ def _param_spec(path: tuple, x: Any, tensor_axis: bool, fsdp_axis: bool) -> P:
     ndim = x.ndim
     spec: list = [None] * ndim
 
+    td = None
     if tensor_axis and ndim >= 2:
         # depth-stacked kernels: [L, in, out]; plain kernels: [in, out]
         if any(s in name for s in ("qkv/kernel", "fc1/kernel", "q/kernel", "kv/kernel")):
-            spec[ndim - 1] = "tensor"
+            td = ndim - 1
         elif any(s in name for s in ("proj/kernel", "fc2/kernel")) and "patch_embed" not in name:
-            spec[ndim - 2] = "tensor"
+            td = ndim - 2
+        if td is not None:
+            spec[td] = "tensor"
     # FSDP: shard the largest remaining dim — but only for params that are
     # actually large. Sharding tiny tensors (patch-embed conv kernels, pos
     # embeds) saves nothing and makes XLA's sharding propagation reshard the
@@ -127,11 +130,30 @@ def _param_spec(path: tuple, x: Any, tensor_axis: bool, fsdp_axis: bool) -> P:
     # involuntarily fully rematerialized to align with a 192-out-channel
     # fsdp-sharded patch-embed kernel).
     if fsdp_axis and ndim >= 2 and x.size >= _FSDP_MIN_SIZE and "patch_embed" not in name:
-        free = [d for d in range(ndim) if spec[d] is None]
-        if free:
-            d = max(free, key=lambda i: x.shape[i])
-            spec[d] = "fsdp"
+        if td is not None:
+            # tensor-parallel kernels: stack fsdp ON the tensor dim. The
+            # "largest free dim" here is the residual/contracting D axis, and
+            # fsdp-sharding THAT propagates a D-sharded layout into the whole
+            # activation stream — observed on the 2x2x2 mesh as an SPMD
+            # involuntary full rematerialization of a [B*M, Ku, D] predictor
+            # gather (the fused fsdp+tensor shard keeps activations' D
+            # replicated; XLA all-gathers the kernel shard per layer instead,
+            # plain ZeRO-3).
+            spec[td] = ("tensor", "fsdp")
+        else:
+            free = [d for d in range(ndim) if spec[d] is None]
+            if free:
+                d = max(free, key=lambda i: x.shape[i])
+                spec[d] = "fsdp"
     return P(*spec)
+
+
+def _spec_axes_size(mesh: Mesh, ax) -> int:
+    axes = ax if isinstance(ax, tuple) else (ax,)
+    size = 1
+    for a in axes:
+        size *= mesh.shape[a]
+    return size
 
 
 def param_shardings(
@@ -150,10 +172,13 @@ def param_shardings(
         for d, ax in enumerate(spec):
             if ax is None:
                 fixed.append(None)
-            elif x.shape[d] % mesh.shape[ax] == 0:
+            elif x.shape[d] % _spec_axes_size(mesh, ax) == 0:
                 fixed.append(ax)
-            else:
+            elif not isinstance(ax, tuple) or x.shape[d] % mesh.shape[ax[0]] != 0:
                 fixed.append(None)
+            else:
+                # ('tensor','fsdp') dim too small for both: keep tensor only
+                fixed.append(ax[0])
         return NamedSharding(mesh, P(*fixed))
 
     return jax.tree_util.tree_map_with_path(to_sharding, params)
@@ -175,8 +200,11 @@ def state_shardings(mesh: Mesh, state: Any) -> Any:
         )
         fixed = []
         for d, ax in enumerate(spec):
-            if ax is not None and x.shape[d] % mesh.shape[ax] == 0:
+            if ax is not None and x.shape[d] % _spec_axes_size(mesh, ax) == 0:
                 fixed.append(ax)
+            elif (isinstance(ax, tuple)
+                  and x.shape[d] % mesh.shape[ax[0]] == 0):
+                fixed.append(ax[0])
             else:
                 fixed.append(None)
         return NamedSharding(mesh, P(*fixed))

@@ -147,19 +147,9 @@ def setup_probe(cfg: ExperimentConfig, mesh=None):
     return handles, probe, probe_state, step_fn
 
 
-def run(
-    cfg: ExperimentConfig,
-    max_steps: Optional[int] = None,
-    resume_preempt: bool = False,
-) -> dict:
-    logger = get_logger(rank=jax.process_index())
-    handles, probe, probe_state, step_fn = setup_probe(cfg)
-
-    folder = cfg.logging.folder
-    os.makedirs(folder, exist_ok=True)
-    tag = cfg.logging.write_tag
-
-    # restore pretrained encoder/predictor/target from the JEPA checkpoint
+def restore_jepa_weights(handles, cfg: ExperimentConfig, logger) -> None:
+    """Restore the frozen pretrained JEPA state from cfg.meta.read_checkpoint
+    into handles.state (in place). No-op when the checkpoint is absent."""
     jepa_ckpt_dir = cfg.meta.read_checkpoint
     state = handles.state
     if jepa_ckpt_dir and os.path.isdir(jepa_ckpt_dir):
@@ -175,10 +165,26 @@ def run(
             )
             for leaf in jax.tree_util.tree_leaves(state):
                 leaf.delete()
-            state = ck.restore(like)
-            handles.state = state
+            handles.state = ck.restore(like)
             logger.info("restored frozen JEPA weights")
         ck.close()
+
+
+def run(
+    cfg: ExperimentConfig,
+    max_steps: Optional[int] = None,
+    resume_preempt: bool = False,
+) -> dict:
+    logger = get_logger(rank=jax.process_index())
+    handles, probe, probe_state, step_fn = setup_probe(cfg)
+
+    folder = cfg.logging.folder
+    os.makedirs(folder, exist_ok=True)
+    tag = cfg.logging.write_tag
+
+    # restore pretrained encoder/predictor/target from the JEPA checkpoint
+    restore_jepa_weights(handles, cfg, logger)
+    state = handles.state
 
     # the frozen path uses the *target* encoder weights (reference freezes the
     # loaded encoder; target is the EMA, the canonical representation)

@@ -120,8 +120,11 @@ class TrainHandles:
     mask_collator: object
     compact: bool = True
     compact_pred: bool = True
+    # hot-loop variant skipping the log-boundary-only diagnostic reductions
+    # (same jit signature as step_fn; see make_train_step full_metrics)
+    step_fn_light: object = None
 
-    def step(self, state, video, audio, masks):
+    def step(self, state, video, audio, masks, full_metrics: bool = True):
         """Run one train step from host-side numpy batch + MaskSets.
 
         With num_clips > 1 the loader delivers clips stacked along time
@@ -184,10 +187,12 @@ class TrainHandles:
                 idx = tuple(put_batch(mesh, np.asarray(i), b_sh) for i in idx)
             if union is not None:
                 union = put_batch(mesh, np.asarray(union), m_sh)
-            return self.step_fn(state, video, audio, enc_m, pred_m, idx, union)
+            fn = self._pick_step(full_metrics)
+            return fn(state, video, audio, enc_m, pred_m, idx, union)
         if idx is not None:
             idx = tuple(jnp.asarray(i) for i in idx)
-        return self.step_fn(
+        fn = self._pick_step(full_metrics)
+        return fn(
             state,
             jnp.asarray(video, dt),
             jnp.asarray(audio, dt) if audio is not None else None,
@@ -196,6 +201,11 @@ class TrainHandles:
             idx,
             jnp.asarray(union) if union is not None else None,
         )
+
+    def _pick_step(self, full_metrics: bool):
+        if full_metrics or self.step_fn_light is None:
+            return self.step_fn
+        return self.step_fn_light
 
 
 def setup(cfg: ExperimentConfig, mesh=None) -> TrainHandles:
@@ -237,6 +247,11 @@ def setup(cfg: ExperimentConfig, mesh=None) -> TrainHandles:
         eps=cfg.optimization.eps,
     )
     raw_step = make_train_step(encoder, predictor, sched, step_cfg)
+    raw_step_light = (
+        make_train_step(encoder, predictor, sched, step_cfg, full_metrics=False)
+        if cfg.tpu.light_metrics
+        else None
+    )
 
     compact = bool(cfg.tpu.compact_context)
     compact_pred = bool(cfg.tpu.compact_predictor)
@@ -249,19 +264,26 @@ def setup(cfg: ExperimentConfig, mesh=None) -> TrainHandles:
     )
     union_sh = mask_sh if compact_pred else None
     repl = NamedSharding(mesh, P())
+    in_sh = (
+        sh,
+        batch_sh,
+        batch_sh if layout.audio_enabled else None,
+        mask_sh,
+        mask_sh,
+        idx_sh,
+        union_sh,
+    )
     step_fn = jax.jit(
-        raw_step,
-        in_shardings=(
-            sh,
-            batch_sh,
-            batch_sh if layout.audio_enabled else None,
-            mask_sh,
-            mask_sh,
-            idx_sh,
-            union_sh,
-        ),
-        out_shardings=(sh, repl),
+        raw_step, in_shardings=in_sh, out_shardings=(sh, repl),
         donate_argnums=(0,),
+    )
+    step_fn_light = (
+        jax.jit(
+            raw_step_light, in_shardings=in_sh, out_shardings=(sh, repl),
+            donate_argnums=(0,),
+        )
+        if raw_step_light is not None
+        else None
     )
 
     dataset = build_dataset(cfg, layout)
@@ -306,6 +328,7 @@ def setup(cfg: ExperimentConfig, mesh=None) -> TrainHandles:
         mask_collator=collator,
         compact=compact,
         compact_pred=compact_pred,
+        step_fn_light=step_fn_light,
     )
 
 
@@ -450,6 +473,7 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
 
         total = 0
         summary = {}
+        last_full = {}
         loss_meter = AverageMeter()
         data_iter = iter(handles.loader)
         if cfg.data.skip_batches > 0:
@@ -470,20 +494,35 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
                 except StopIteration:
                     data_iter = iter(handles.loader)
                     video, audio, _, masks = next(data_iter)
+                # diagnostic reductions only at log boundaries when
+                # tpu.light_metrics (the default); loss/schedules/grad norms
+                # come from every step either way
+                full = (not cfg.tpu.light_metrics) or (
+                    itr % cfg.logging.log_freq == 0
+                )
                 with StepTimer() as t:
-                    state, metrics = handles.step(state, video, audio, masks)
+                    state, metrics = handles.step(
+                        state, video, audio, masks, full_metrics=full
+                    )
                     metrics = jax.device_get(metrics)
+                if full:
+                    last_full = metrics
                 iter_ms = (time.perf_counter() - t_iter) * 1000
                 loss = float(metrics["loss"])
                 loss_meter.update(loss)
                 time_meter.update(t.elapsed_ms)
+
+                def _stat(key):
+                    # light steps carry the most recent full-step diagnostics
+                    return float(metrics.get(key, last_full.get(key, np.nan)))
+
                 csv_logger.log(
                     epoch + 1, itr, loss, float(metrics["loss_jepa"]),
                     float(metrics["loss_reg"]), float(metrics["enc_grad_norm"]),
-                    float(metrics["pred_grad_norm"]), float(metrics["enc_grad_avg"]),
-                    float(metrics["enc_grad_first_qkv"]),
-                    float(metrics["enc_grad_last_qkv"]),
-                    float(metrics["opt_mu_abs"]), float(metrics["opt_nu_abs"]),
+                    float(metrics["pred_grad_norm"]), _stat("enc_grad_avg"),
+                    _stat("enc_grad_first_qkv"),
+                    _stat("enc_grad_last_qkv"),
+                    _stat("opt_mu_abs"), _stat("opt_nu_abs"),
                     t.elapsed_ms, iter_ms,
                 )
                 if itr % cfg.logging.log_freq == 0:

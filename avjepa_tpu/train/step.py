@@ -100,6 +100,7 @@ def make_train_step(
     predictor: Predictor,
     sched: ScheduleConfig,
     step_cfg: StepConfig,
+    full_metrics: bool = True,
 ):
     """Build the pure train step:
 
@@ -107,6 +108,15 @@ def make_train_step(
         (state', metrics)
 
     The number of mask configs M is static (python loop, unrolled in XLA).
+
+    ``full_metrics=False`` builds the hot-loop variant that skips the
+    diagnostic reductions consumed only at log boundaries — per-layer grad
+    norms over every leaf (reference grad_logger), optimizer-moment |.|
+    means (adamw_logger) and the two per-sample input-variance reductions
+    (reference: app/avjepa/train.py:526-531,560-563 compute these every
+    iteration; here the training loop runs the full variant only every
+    ``log_freq`` steps). Loss/schedule/grad-norm metrics are identical in
+    both variants (the global norms are already computed for clipping).
     """
 
     def loss_fn(enc_params, pred_params, target_params, video, audio, enc_masks,
@@ -263,11 +273,6 @@ def make_train_step(
             pred_opt=pred_opt,
         )
 
-        # per-layer gradient statistics (reference grad_logger,
-        # src/utils/logging.py:91-105)
-        enc_gavg, enc_gfirst, enc_glast = grad_stats(enc_g)
-        pred_gavg, _, _ = grad_stats(pred_g)
-
         metrics = {
             "loss": loss,
             "loss_jepa": loss_jepa,
@@ -277,22 +282,30 @@ def make_train_step(
             "ema": m,
             "enc_grad_norm": enc_norm,
             "pred_grad_norm": pred_norm,
-            "enc_grad_avg": enc_gavg,
-            "enc_grad_first_qkv": enc_gfirst,
-            "enc_grad_last_qkv": enc_glast,
-            "pred_grad_avg": pred_gavg,
-            # optimizer moment magnitudes (reference adamw_logger,
-            # src/utils/logging.py:108-118)
-            "opt_mu_abs": _tree_abs_mean(enc_opt.mu),
-            "opt_nu_abs": _tree_abs_mean(enc_opt.nu),
-            # input-variance diagnostics (reference: train.py:560-563); f32
-            # accumulation — the video itself may arrive as bf16. Reduce over
-            # the trailing axes directly (no flatten: reshaping the tiled
-            # video layout forced a 4 ms relayout copy of the f32 batch)
-            "input_var": jnp.mean(_per_sample_var(video)),
-            "input_var_min": jnp.min(_per_sample_var(video)),
             "mask_sizes": jnp.sum(enc_masks[:, 0, :], axis=1).astype(jnp.float32),
         }
+        if full_metrics:
+            # per-layer gradient statistics (reference grad_logger,
+            # src/utils/logging.py:91-105)
+            enc_gavg, enc_gfirst, enc_glast = grad_stats(enc_g)
+            pred_gavg, _, _ = grad_stats(pred_g)
+            metrics.update({
+                "enc_grad_avg": enc_gavg,
+                "enc_grad_first_qkv": enc_gfirst,
+                "enc_grad_last_qkv": enc_glast,
+                "pred_grad_avg": pred_gavg,
+                # optimizer moment magnitudes (reference adamw_logger,
+                # src/utils/logging.py:108-118)
+                "opt_mu_abs": _tree_abs_mean(enc_opt.mu),
+                "opt_nu_abs": _tree_abs_mean(enc_opt.nu),
+                # input-variance diagnostics (reference: train.py:560-563);
+                # f32 accumulation — the video itself may arrive as bf16.
+                # Reduce over the trailing axes directly (no flatten:
+                # reshaping the tiled video layout forced a 4 ms relayout
+                # copy of the f32 batch)
+                "input_var": jnp.mean(_per_sample_var(video)),
+                "input_var_min": jnp.min(_per_sample_var(video)),
+            })
         return new_state, metrics
 
     return train_step

@@ -97,6 +97,13 @@ def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20,
         )
 
     state = handles.state
+    # production step cadence: the light step (no diagnostic reductions)
+    # runs every iteration, the full-metrics step every log_freq=10 steps —
+    # exactly what pretrain.run() executes with tpu.light_metrics (default)
+    step_light = handles.step_fn_light or handles.step_fn
+    step_full = handles.step_fn
+    LOG_FREQ = 10
+
     # NOTE: on the tunneled device backend used here, jax.block_until_ready
     # does NOT actually block; a scalar device_get is the only reliable
     # completion barrier (and transfers 4 bytes).
@@ -106,11 +113,14 @@ def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20,
         # (host->device moves through this environment's tunnel are slow)
         video, audio, enc_m, pred_m, idx, union = to_device(next(iter(handles.loader)))
         fed_batch = video.shape[0]
-        state, metrics = handles.step_fn(state, video, audio, enc_m, pred_m, idx, union)
+        state, metrics = step_full(state, video, audio, enc_m, pred_m, idx, union)
+        float(jax.device_get(metrics["loss"]))
+        state, metrics = step_light(state, video, audio, enc_m, pred_m, idx, union)
         float(jax.device_get(metrics["loss"]))
         t0 = time.perf_counter()
-        for _ in range(steps):
-            state, metrics = handles.step_fn(state, video, audio, enc_m, pred_m, idx, union)
+        for i in range(steps):
+            fn = step_full if i % LOG_FREQ == 0 else step_light
+            state, metrics = fn(state, video, audio, enc_m, pred_m, idx, union)
         float(jax.device_get(metrics["loss"]))
         dt = time.perf_counter() - t0
     elif mode == "maskvar":
@@ -118,14 +128,18 @@ def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20,
         # with fresh collator-stepped masks each step, so compact-path
         # K-bucket churn (and any recompiles it causes) lands in the timing
         it = iter(handles.loader)
+        for _ in range(8):  # converge the collator's sticky K buckets first
+            next(it)
         staged = [to_device(next(it)) for _ in range(8)]
         fed_batch = staged[0][0].shape[0]
-        for b in staged:  # warm every bucket combination
-            state, metrics = handles.step_fn(state, *b)
+        for b in staged:  # warm every bucket combination (both variants)
+            state, metrics = step_full(state, *b)
+            state, metrics = step_light(state, *b)
         float(jax.device_get(metrics["loss"]))
         t0 = time.perf_counter()
         for i in range(steps):
-            state, metrics = handles.step_fn(state, *staged[i % len(staged)])
+            fn = step_full if i % LOG_FREQ == 0 else step_light
+            state, metrics = fn(state, *staged[i % len(staged)])
         float(jax.device_get(metrics["loss"]))
         dt = time.perf_counter() - t0
     elif mode == "steady":
@@ -135,16 +149,19 @@ def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20,
         it = iter(handles.loader)
         first = to_device(next(it))
         fed_batch = first[0].shape[0]
-        state, metrics = handles.step_fn(state, *first)
+        state, metrics = step_full(state, *first)
+        float(jax.device_get(metrics["loss"]))
+        state, metrics = step_light(state, *first)
         float(jax.device_get(metrics["loss"]))
         t0 = time.perf_counter()
-        for _ in range(steps):
+        for i in range(steps):
             try:
                 b = next(it)
             except StopIteration:
                 it = iter(handles.loader)
                 b = next(it)
-            state, metrics = handles.step_fn(state, *to_device(b))
+            fn = step_full if i % LOG_FREQ == 0 else step_light
+            state, metrics = fn(state, *to_device(b))
         float(jax.device_get(metrics["loss"]))
         dt = time.perf_counter() - t0
     else:

@@ -425,6 +425,153 @@ done:
 }
 
 // ---------------------------------------------------------------------------
+// Encode caller-provided RGB24 frames + mono f32 PCM into an AVI
+// (MPEG4 + PCM_S16LE). The content-controllable sibling of
+// avdec_write_test_video: test/chain tooling uses it to author media with
+// known class statistics (motion direction, tone frequency). pcm may be
+// null (video-only clip).
+// ---------------------------------------------------------------------------
+
+extern "C" int avdec_encode_av(const char* path, const unsigned char* rgb,
+                               int n_frames, int w, int h, double fps,
+                               const float* pcm, long n_samples, int sr) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_alloc_output_context2(&fmt, nullptr, "avi", path) < 0 || !fmt)
+    return -1;
+  int err = 0;
+  AVCodecContext* venc = nullptr;
+  AVCodecContext* aenc = nullptr;
+  AVFrame* vframe = nullptr;
+  AVFrame* aframe = nullptr;
+  AVPacket* pkt = av_packet_alloc();
+  AVStream* vst = nullptr;
+  AVStream* ast = nullptr;
+  SwsContext* sws = nullptr;
+  const int with_audio = (pcm != nullptr && n_samples > 0);
+
+  {
+    const AVCodec* vc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+    if (!vc) { err = -2; goto done; }
+    vst = avformat_new_stream(fmt, vc);
+    venc = avcodec_alloc_context3(vc);
+    venc->width = w;
+    venc->height = h;
+    venc->pix_fmt = AV_PIX_FMT_YUV420P;
+    venc->time_base = av_d2q(1.0 / fps, 100000);
+    venc->bit_rate = 4000000;
+    venc->gop_size = 12;
+    if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+      venc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if (avcodec_open2(venc, vc, nullptr) < 0) { err = -3; goto done; }
+    avcodec_parameters_from_context(vst->codecpar, venc);
+    vst->time_base = venc->time_base;
+
+    if (with_audio) {
+      const AVCodec* ac = avcodec_find_encoder(AV_CODEC_ID_PCM_S16LE);
+      if (!ac) { err = -4; goto done; }
+      ast = avformat_new_stream(fmt, ac);
+      aenc = avcodec_alloc_context3(ac);
+      aenc->sample_rate = sr;
+      av_channel_layout_default(&aenc->ch_layout, 1);
+      aenc->sample_fmt = AV_SAMPLE_FMT_S16;
+      aenc->time_base = {1, sr};
+      if (avcodec_open2(aenc, ac, nullptr) < 0) { err = -5; goto done; }
+      avcodec_parameters_from_context(ast->codecpar, aenc);
+      ast->time_base = aenc->time_base;
+    }
+
+    if (!(fmt->oformat->flags & AVFMT_NOFILE)) {
+      if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) { err = -6; goto done; }
+    }
+    if (avformat_write_header(fmt, nullptr) < 0) { err = -7; goto done; }
+
+    vframe = av_frame_alloc();
+    vframe->format = AV_PIX_FMT_YUV420P;
+    vframe->width = w;
+    vframe->height = h;
+    av_frame_get_buffer(vframe, 0);
+    sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, AV_PIX_FMT_YUV420P,
+                         SWS_BILINEAR, nullptr, nullptr, nullptr);
+    if (!sws) { err = -8; goto done; }
+
+    for (int i = 0; i < n_frames; ++i) {
+      av_frame_make_writable(vframe);
+      const uint8_t* src[1] = {rgb + (size_t)i * h * w * 3};
+      int src_stride[1] = {w * 3};
+      sws_scale(sws, src, src_stride, 0, h, vframe->data, vframe->linesize);
+      vframe->pts = i;
+      if (avcodec_send_frame(venc, vframe) < 0) { err = -9; goto done; }
+      while (avcodec_receive_packet(venc, pkt) == 0) {
+        av_packet_rescale_ts(pkt, venc->time_base, vst->time_base);
+        pkt->stream_index = vst->index;
+        av_interleaved_write_frame(fmt, pkt);
+      }
+    }
+    avcodec_send_frame(venc, nullptr);
+    while (avcodec_receive_packet(venc, pkt) == 0) {
+      av_packet_rescale_ts(pkt, venc->time_base, vst->time_base);
+      pkt->stream_index = vst->index;
+      av_interleaved_write_frame(fmt, pkt);
+    }
+
+    if (with_audio) {
+      const int chunk = 4096;
+      aframe = av_frame_alloc();
+      aframe->format = AV_SAMPLE_FMT_S16;
+      av_channel_layout_default(&aframe->ch_layout, 1);
+      aframe->sample_rate = sr;
+      long written = 0;
+      while (written < n_samples) {
+        int ns = (int)((n_samples - written) < chunk ? (n_samples - written)
+                                                     : chunk);
+        aframe->nb_samples = ns;
+        av_frame_get_buffer(aframe, 0);
+        av_frame_make_writable(aframe);
+        int16_t* smp = (int16_t*)aframe->data[0];
+        for (int i = 0; i < ns; ++i) {
+          float v = pcm[written + i];
+          if (v > 1.0f) v = 1.0f;
+          if (v < -1.0f) v = -1.0f;
+          smp[i] = (int16_t)(v * 32000.0f);
+        }
+        aframe->pts = written;
+        if (avcodec_send_frame(aenc, aframe) < 0) { err = -10; goto done; }
+        while (avcodec_receive_packet(aenc, pkt) == 0) {
+          av_packet_rescale_ts(pkt, aenc->time_base, ast->time_base);
+          pkt->stream_index = ast->index;
+          av_interleaved_write_frame(fmt, pkt);
+        }
+        written += ns;
+        av_frame_unref(aframe);
+        aframe->format = AV_SAMPLE_FMT_S16;
+        av_channel_layout_default(&aframe->ch_layout, 1);
+        aframe->sample_rate = sr;
+      }
+      avcodec_send_frame(aenc, nullptr);
+      while (avcodec_receive_packet(aenc, pkt) == 0) {
+        av_packet_rescale_ts(pkt, aenc->time_base, ast->time_base);
+        pkt->stream_index = ast->index;
+        av_interleaved_write_frame(fmt, pkt);
+      }
+    }
+    av_write_trailer(fmt);
+  }
+
+done:
+  if (sws) sws_freeContext(sws);
+  if (venc) avcodec_free_context(&venc);
+  if (aenc) avcodec_free_context(&aenc);
+  if (vframe) av_frame_free(&vframe);
+  if (aframe) av_frame_free(&aframe);
+  if (pkt) av_packet_free(&pkt);
+  if (fmt) {
+    if (!(fmt->oformat->flags & AVFMT_NOFILE) && fmt->pb) avio_closep(&fmt->pb);
+    avformat_free_context(fmt);
+  }
+  return err;
+}
+
+// ---------------------------------------------------------------------------
 // Batched crop + resize of decoded RGB frames (the hot host-side transform).
 // rects: t * 4 ints (top, left, crop_h, crop_w) per frame; bilinear resize of
 // each cropped region to (out_h, out_w). libswscale SIMD, GIL-free via ctypes.

@@ -65,12 +65,31 @@ def test_avprediction_run_and_example(tmp_path):
 
 
 def test_av_prediction_eval(tmp_path):
+    """Held-out eval contract: strict probe restore (missing probe raises),
+    a trained probe beats the untrained one on BOTH modalities, and the eval
+    is bit-deterministic run to run."""
+    import pytest
+
     from avjepa_tpu.evals.av_prediction import run as eval_run
 
     cfg = make_cfg(tmp_path / "e")
-    summary = eval_run(cfg, max_batches=2)
-    assert np.isfinite(summary["mse_video"])
-    assert np.isfinite(summary["mse_audio"])
+    # missing probe checkpoint: strict by default
+    with pytest.raises(FileNotFoundError):
+        eval_run(cfg, max_batches=1)
+    # untrained control (init probe)
+    base = eval_run(cfg, max_batches=2, require_probe=False)
+    assert np.isfinite(base["mse_video"]) and np.isfinite(base["mse_audio"])
+    # train the probe, then the strict eval must find and beat the control
+    cfg.optimization.ipe = 30
+    avprediction.run(cfg, max_steps=30)
+    trained = eval_run(cfg, max_batches=2)
+    assert trained["mse_video"] < base["mse_video"], (trained, base)
+    assert trained["mse_audio"] < base["mse_audio"], (trained, base)
+    assert trained["psnr_video_db"] > base["psnr_video_db"]
+    assert trained["psnr_audio_db"] > base["psnr_audio_db"]
+    # deterministic: identical numbers on a rerun
+    again = eval_run(cfg, max_batches=2)
+    assert again == trained
 
 
 def test_probe_video_only(tmp_path):

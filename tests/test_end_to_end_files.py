@@ -92,3 +92,56 @@ def test_video_only_on_real_files(media_csv, tmp_path):
     assert audio is None
     state, metrics = handles.step(handles.state, video, None, masks)
     assert np.isfinite(float(jax.device_get(metrics["loss"])))
+
+
+def test_write_av_clip_roundtrip(tmp_path):
+    """Content-controllable encoder (native avdec_encode_av): RGB frames and
+    PCM round-trip through encode->demux->decode with the class statistics
+    intact (pixel error within MPEG4 loss, dominant tone preserved)."""
+    from avjepa_tpu.data.video_decoder import VideoFile, write_av_clip
+
+    t, h, w = 24, 96, 128
+    y, x = np.meshgrid(np.linspace(0, 2 * np.pi, h, dtype=np.float32),
+                       np.linspace(0, 2 * np.pi, w, dtype=np.float32),
+                       indexing="ij")
+    frames = np.empty((t, h, w, 3), np.uint8)
+    for i in range(t):
+        img = 127.5 + 110 * np.sin(3 * x + 0.6 * i)
+        frames[i] = np.clip(img, 0, 255).astype(np.uint8)[..., None]
+    sr = 22050
+    n = int(t / 25.0 * sr)
+    tone = 950.0
+    pcm = 0.4 * np.sin(2 * np.pi * tone * np.arange(n, dtype=np.float32) / sr)
+    p = str(tmp_path / "clip.avi")
+    write_av_clip(p, frames, 25.0, pcm.astype(np.float32), sr)
+
+    vf = VideoFile(p)
+    assert vf.num_frames == t and abs(vf.fps - 25.0) < 1e-3
+    dec = vf.decode_frames(np.arange(8))
+    assert dec.shape == (8, h, w, 3)
+    err = np.abs(dec[0].astype(int) - frames[0].astype(int)).mean()
+    assert err < 6.0, f"codec error too large: {err}"
+    pcm2, sr2 = vf.decode_audio()
+    spec = np.abs(np.fft.rfft(pcm2))
+    f_dom = np.fft.rfftfreq(len(pcm2), 1.0 / sr2)[np.argmax(spec)]
+    assert abs(f_dom - tone) < 15.0, f_dom
+
+    # chain media classes: motion direction must survive the codec — the
+    # temporal phase shift between consecutive decoded frames has the sign
+    # of the authored drift
+    from tools.run_chain import class_av_content
+
+    for label, sign in ((0, +1.0), (1, -1.0)):
+        fr, pcm3, sr3 = class_av_content(
+            label, np.random.default_rng([1, label]), 24, w, h)
+        p2 = str(tmp_path / f"c{label}.avi")
+        write_av_clip(p2, fr, 25.0, pcm3, sr3)
+        d = VideoFile(p2).decode_frames(np.arange(4)).astype(np.float32)
+        row = d[:, h // 2, :, 0]
+        # cross-correlation of consecutive rows peaks at a shifted lag whose
+        # sign matches the drift direction
+        lags = []
+        for a, b in zip(row[:-1], row[1:]):
+            c = np.correlate(b - b.mean(), a - a.mean(), "full")
+            lags.append(np.argmax(c) - (len(a) - 1))
+        assert np.sign(np.median(lags)) == sign, (label, lags)

@@ -128,3 +128,36 @@ def test_degenerate_full_coverage_config_terminates():
     m = masks[0]
     assert (m.enc.sum(axis=1) >= 1).all()
     assert not np.logical_and(m.enc, m.pred).any()
+
+
+def test_sticky_bucket_converges_to_one_shape():
+    """K buckets are sticky: once a draw needs a larger bucket, every later
+    batch pads to it, so steady-state mask churn compiles ONE step variant
+    per config (the measured churn tax was 2.3% of step time, BENCH.md).
+    Indices stay valid and pad lanes carry the sentinel n."""
+    from avjepa_tpu.layout import DEFAULT_AV_LAYOUT
+    from avjepa_tpu.masks.multiblock3d import make_mask_collator
+
+    lo = DEFAULT_AV_LAYOUT
+    coll = make_mask_collator(
+        "multiblock3d",
+        [{"aspect_ratio": [0.75, 1.5], "num_blocks": 8,
+          "spatial_scale": [0.15, 0.15], "temporal_scale": [1.0, 1.0]},
+         {"aspect_ratio": [0.75, 1.5], "num_blocks": 2,
+          "spatial_scale": [0.7, 0.7], "temporal_scale": [1.0, 1.0]}],
+        lo, base_seed=0,
+    )
+    n = lo.num_tokens
+    shapes = []
+    for _ in range(20):
+        msets = coll(4)
+        shapes.append(tuple(m.union_idx.shape[1] for m in msets))
+        for m in msets:
+            # sentinel-padded, ascending real indices within [0, n]
+            assert m.union_idx.max() <= n
+            assert m.enc_idx.max() <= n
+    # monotone non-decreasing per config, and the tail is constant
+    for ci in range(2):
+        ks = [s[ci] for s in shapes]
+        assert all(a <= b for a, b in zip(ks, ks[1:])), ks
+    assert shapes[-1] == shapes[-5] == shapes[-10], shapes

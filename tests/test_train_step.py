@@ -116,6 +116,48 @@ def test_mesh_sharding_multichip(tmp_path):
     assert np.isfinite(float(jax.device_get(metrics)["loss"]))
 
 
+def test_multichip_compile_no_involuntary_remat(tmp_path, capfd):
+    """The AV step on the full 2x2x2 mesh must compile without an SPMD
+    'Involuntary full rematerialization' (regression: fsdp-sharding the
+    residual/contracting D dim of tensor-parallel kernels propagated a
+    D-sharded layout into the activation stream, and the partitioner could
+    only reconcile it by replicating a [B*M, Ku, D] predictor tensor —
+    MULTICHIP_r03.json tail)."""
+    from avjepa_tpu.parallel.mesh import make_mesh
+    from avjepa_tpu.train.step import stack_masksets
+
+    # distinctive geometry (crop 48) so no other test's in-process jit cache
+    # entry can satisfy this compile; persistent cache disabled so the SPMD
+    # partitioner genuinely runs and its warnings (fd 2) are observable
+    cfg = make_cfg(tmp_path, **{"data.batch_size": 2, "data.crop_size": 48})
+    cfg.tpu.mesh_data, cfg.tpu.mesh_fsdp, cfg.tpu.mesh_tensor = 2, 2, 2
+    mesh = make_mesh(2, 2, 2)
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        handles = pretrain.setup(cfg, mesh=mesh)
+        video, audio, _, masks = next(iter(handles.loader))
+        enc_m, pred_m, idx, union = stack_masksets(masks, with_idx=True)
+        if not handles.compact:
+            idx = None
+        if not handles.compact_pred:
+            union = None
+        args = (
+            handles.state,
+            jnp.asarray(video, jnp.float32),
+            jnp.asarray(audio, jnp.float32),
+            jnp.asarray(enc_m),
+            jnp.asarray(pred_m),
+            None if idx is None else tuple(jnp.asarray(i) for i in idx),
+            None if union is None else jnp.asarray(union),
+        )
+        capfd.readouterr()  # drain anything emitted during setup
+        handles.step_fn.lower(*args).compile()
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err[-2000:]
+
+
 def test_compact_matches_dense(tmp_path):
     """Compacted context encoding AND compacted predictor must each produce
     the same loss as the fully-dense path."""

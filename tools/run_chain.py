@@ -60,26 +60,79 @@ def sh(stage: str, argv: list[str], workdir: str, env=None) -> float:
     return dt
 
 
+def class_av_content(label: int, rng: np.random.Generator, n_frames: int,
+                     w: int, h: int, fps: float = 25.0, sr: int = 22050):
+    """Author one clip with genuinely class-separable AV statistics.
+
+    The class signal is SPATIO-TEMPORAL (motion direction), not a static cue
+    a random frozen encoder could trivially carry to the probe, and it is
+    present in both modalities:
+      class 0: grating drifts RIGHT;  tone ~420 Hz
+      class 1: grating drifts LEFT;   tone ~950 Hz
+      class 2: grating drifts DOWN;   tone ~2100 Hz
+    Per-clip randomness (spatial frequency, phase, contrast, speed, texture
+    noise, tone jitter/AM) keeps individual clips distinct within a class.
+    """
+    y, x = np.meshgrid(
+        np.linspace(0, 2 * np.pi, h, dtype=np.float32),
+        np.linspace(0, 2 * np.pi, w, dtype=np.float32),
+        indexing="ij",
+    )
+    fx = rng.uniform(2.0, 4.0)
+    fy = rng.uniform(0.0, 1.0)
+    phase0 = rng.uniform(0, 2 * np.pi)
+    speed = rng.uniform(0.5, 0.9)  # radians/frame — several px/frame drift
+    contrast = rng.uniform(80, 120)
+    # sin(fx*x + d*s*t) drifts RIGHT when d<0 (phase x_shift = -d*s*t/fx)
+    dir_v = {0: -1.0, 1: +1.0, 2: 0.0}[label]
+    texture = rng.normal(0, 12, (h, w, 1)).astype(np.float32)  # static, per clip
+    frames_u8 = np.empty((n_frames, h, w, 3), np.uint8)
+    for t in range(n_frames):
+        if label < 2:  # horizontal drift, sign = class
+            arg = fx * x + fy * y + phase0 + dir_v * speed * t
+        else:  # vertical drift
+            arg = fx * y + fy * x + phase0 + speed * t
+        img = 127.5 + contrast * np.sin(arg)[..., None] + texture
+        img = img + rng.normal(0, 6, (h, w, 1))
+        frames_u8[t] = np.clip(img, 0, 255).astype(np.uint8)
+
+    n_samp = int(n_frames / fps * sr)
+    tt = np.arange(n_samp, dtype=np.float32) / sr
+    f0 = {0: 420.0, 1: 950.0, 2: 2100.0}[label] * rng.uniform(0.92, 1.08)
+    am = 1.0 + 0.3 * np.sin(2 * np.pi * rng.uniform(1.0, 3.0) * tt)
+    pcm = 0.4 * am * np.sin(2 * np.pi * f0 * tt + rng.uniform(0, 2 * np.pi))
+    pcm = pcm + rng.normal(0, 0.02, n_samp)
+    return frames_u8, pcm.astype(np.float32), sr
+
+
 def make_media(workdir: str, n_clips: int, w: int, h: int, frames: int):
-    from avjepa_tpu.data.video_decoder import write_test_video
+    """N class-separable AV clips + train/val CSVs (3 balanced classes)."""
+    from avjepa_tpu.data.video_decoder import write_av_clip
 
     d = os.path.join(workdir, "media")
     os.makedirs(d, exist_ok=True)
-    paths = []
+    paths, labels = [], []
     for i in range(n_clips):
-        p = os.path.join(d, f"clip{i:04d}.avi")
+        label = i % 3
+        p = os.path.join(d, f"clip{i:04d}_c{label}.avi")
         if not os.path.exists(p):  # media generation is resumable
-            write_test_video(p, n_frames=frames + (i % 5) * 8, w=w, h=h,
-                             fps=25.0, with_audio=True)
+            rng = np.random.default_rng([20260819, i])
+            fr, pcm, sr = class_av_content(
+                label, rng, frames + (i % 5) * 8, w, h
+            )
+            write_av_clip(p, fr, 25.0, pcm, sr)
         paths.append(p)
+        labels.append(label)
     n_train = max(1, int(0.8 * n_clips))
     train_csv = os.path.join(d, "train.csv")
     val_csv = os.path.join(d, "val.csv")
     with open(train_csv, "w") as f:
-        f.write("".join(f"{p} {i % 3}\n" for i, p in enumerate(paths[:n_train])))
+        f.write("".join(
+            f"{p} {l}\n" for p, l in zip(paths[:n_train], labels[:n_train])
+        ))
     with open(val_csv, "w") as f:
         f.write("".join(
-            f"{p} {(n_train + i) % 3}\n" for i, p in enumerate(paths[n_train:])
+            f"{p} {l}\n" for p, l in zip(paths[n_train:], labels[n_train:])
         ))
     return train_csv, val_csv
 
@@ -252,10 +305,36 @@ def main():
     )
     import re
 
-    ev_log = open(os.path.join(wd, "logs", "video_eval.log")).read()
-    m = re.findall(r"val top-1: ([\d.]+)", ev_log)
-    if m:
-        summary["eval_val_top1"] = float(m[-1])
+    def _val_top1(stage):
+        ev_log = open(os.path.join(wd, "logs", f"{stage}.log")).read()
+        m = re.findall(r"val top-1: ([\d.]+)", ev_log)
+        return float(m[-1]) if m else None
+
+    summary["eval_val_top1_pretrained"] = _val_top1("video_eval")
+    summary["eval_val_top1"] = summary["eval_val_top1_pretrained"]
+
+    # -- 4b. random-encoder control: same probe on an UNtrained encoder -----
+    # The media classes are AV-separable by construction (class_av_content);
+    # the pretrained encoder's probe must beat both chance (33.3%) and this
+    # control for the chain to demonstrate LEARNING, not just plumbing
+    # (reference: evals/video_classification_frozen/eval.py:303-385).
+    ctrl_folder = os.path.join(wd, "video_eval_random")
+    ctrl_cfg = dict(eval_cfg)
+    ctrl_cfg["folder"] = ctrl_folder
+    ctrl_cfg["tag"] = "chain-ctrl"
+    ctrl_cfg["pretrain"] = dict(
+        eval_cfg["pretrain"],
+        folder=os.path.join(wd, "no_such_pretrain"),
+        allow_missing_checkpoint=True,
+    )
+    ctrl_path = os.path.join(wd, "video_eval_random.yaml")
+    with open(ctrl_path, "w") as f:
+        yaml.safe_dump(ctrl_cfg, f)
+    timings["video_eval_random"] = sh(
+        "video_eval_random",
+        [py, "-m", "avjepa_tpu.app.eval_main", "--fname", ctrl_path], wd,
+    )
+    summary["eval_val_top1_random_encoder"] = _val_top1("video_eval_random")
 
     # -- 5. avprediction probe on the frozen pretrained JEPA ---------------
     ap_folder = os.path.join(wd, "avpred")
