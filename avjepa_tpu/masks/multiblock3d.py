@@ -105,10 +105,13 @@ def _bucket_pad(
     of 128 (bounds recompilation under mask churn) with sentinel ``n``
     padding so device scatters drop the pad lanes.
 
-    ``min_k`` floors the bucket (callers pass a sticky running max so the
-    steady state compiles ONE variant per config instead of one per
-    bucket-size draw — the measured mask-churn tax was 2.3% of step time,
-    BENCH.md; the pad lanes cost only the FLOPs of the bucket delta)."""
+    ``min_k`` floors the bucket (the opt-in sticky mode passes a running max
+    so steady state compiles ONE variant per config — measured a NET NEGATIVE
+    as a default on the headline config: the natural per-draw bucket
+    distribution is wide (cfg0 enc 384 on 59% of draws / 512 on 38%; union
+    1280/1408 at 40/60), so a monotone floor ratchets to the p99 shape
+    (640/1536) and taxes every step ~16%, vs ~3% for per-draw variant churn
+    after warmup — BENCH.md round 4)."""
     k = len(index_lists[0])
     k_pad = max(-(-k // 128) * 128, 128, min_k)
     out = np.full((batch_size, k_pad), n, dtype=np.int32)
@@ -131,6 +134,7 @@ class _BlockGenerator:
         max_keep: int | None = None,
         audio_block: tuple[int, int] = (4, 6),
         base_seed: int = 0,
+        sticky_buckets: bool = False,
     ):
         self.layout = layout
         self.height, self.width = layout.h_grid, layout.w_grid
@@ -145,10 +149,13 @@ class _BlockGenerator:
         self.audio_block = audio_block
         self.base_seed = base_seed
         self._counter = -1
-        # sticky bucket floors: once a draw needs a larger K bucket, every
-        # later batch pads to it, so mask churn converges to ONE compiled
+        # opt-in sticky bucket floors: once a draw needs a larger K bucket,
+        # every later batch pads to it, converging mask churn to ONE compiled
         # step variant per config (identical numerics — pad lanes carry the
-        # sentinel and are dropped on device)
+        # sentinel and are dropped on device). OFF by default: measured 16%
+        # slower steady-state than per-draw buckets on the headline config
+        # (the monotone floor ratchets to the p99 draw's shape — BENCH.md)
+        self.sticky_buckets = sticky_buckets
         self._k_enc_sticky = 0
         self._k_union_sticky = 0
 
@@ -261,8 +268,9 @@ class _BlockGenerator:
             ]
         enc_idx = _bucket_pad(combined, batch_size, n, self._k_enc_sticky)
         union_idx = _bucket_pad(unions, batch_size, n, self._k_union_sticky)
-        self._k_enc_sticky = enc_idx.shape[1]
-        self._k_union_sticky = union_idx.shape[1]
+        if self.sticky_buckets:
+            self._k_enc_sticky = enc_idx.shape[1]
+            self._k_union_sticky = union_idx.shape[1]
         return MaskSet(enc=enc, pred=pred, enc_idx=enc_idx, union_idx=union_idx)
 
 
@@ -277,6 +285,7 @@ class AVMaskCollator:
         cfgs_mask: Sequence[dict],
         layout: TokenLayout,
         base_seed: int = 0,
+        sticky_buckets: bool = False,
     ):
         self.layout = layout
         self.generators = [
@@ -289,6 +298,7 @@ class AVMaskCollator:
                 max_temporal_keep=m.get("max_temporal_keep", 1.0),
                 max_keep=m.get("max_keep", None),
                 base_seed=base_seed + gi,
+                sticky_buckets=sticky_buckets,
             )
             for gi, m in enumerate(cfgs_mask)
         ]
@@ -305,10 +315,11 @@ class AVMaskCollator:
 # (reference: src/masks/multiblock3d.py — adds only the max_keep cap, which
 # _BlockGenerator already honors).
 class MaskCollator(AVMaskCollator):
-    def __init__(self, cfgs_mask, layout: TokenLayout, base_seed: int = 0):
+    def __init__(self, cfgs_mask, layout: TokenLayout, base_seed: int = 0,
+                 sticky_buckets: bool = False):
         if layout.audio_enabled:
             layout = dataclasses.replace(layout, audio_enabled=False)
-        super().__init__(cfgs_mask, layout, base_seed)
+        super().__init__(cfgs_mask, layout, base_seed, sticky_buckets)
 
 
 class RandomTubeCollator:
@@ -373,7 +384,8 @@ class DefaultCollator:
 
 
 def make_mask_collator(
-    mask_type: str, cfgs_mask, layout: TokenLayout, base_seed: int = 0
+    mask_type: str, cfgs_mask, layout: TokenLayout, base_seed: int = 0,
+    sticky_buckets: bool = False,
 ):
     """Dispatch matching the reference's mask_type config key (the reference
     treats anything other than 'multiblock3d' as the random tube collator,
@@ -381,7 +393,7 @@ def make_mask_collator(
     error for typos)."""
     if mask_type in ("multiblock3d", "avmultiblock3d"):
         cls = AVMaskCollator if layout.audio_enabled else MaskCollator
-        return cls(cfgs_mask, layout, base_seed)
+        return cls(cfgs_mask, layout, base_seed, sticky_buckets=sticky_buckets)
     if mask_type in ("random", "random_tube", "tube"):
         return RandomTubeCollator(cfgs_mask, layout, base_seed)
     if mask_type == "default":

@@ -128,7 +128,8 @@ def main(model_name: str = "vit_large", batch: int = 24, steps: int = 20,
         # with fresh collator-stepped masks each step, so compact-path
         # K-bucket churn (and any recompiles it causes) lands in the timing
         it = iter(handles.loader)
-        for _ in range(8):  # converge the collator's sticky K buckets first
+        for _ in range(8):  # skim early draws so staged masks sample the
+            #                  steady-state bucket distribution
             next(it)
         staged = [to_device(next(it)) for _ in range(8)]
         fed_batch = staged[0][0].shape[0]

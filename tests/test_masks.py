@@ -131,10 +131,12 @@ def test_degenerate_full_coverage_config_terminates():
 
 
 def test_sticky_bucket_converges_to_one_shape():
-    """K buckets are sticky: once a draw needs a larger bucket, every later
+    """OPT-IN sticky buckets: once a draw needs a larger bucket, every later
     batch pads to it, so steady-state mask churn compiles ONE step variant
-    per config (the measured churn tax was 2.3% of step time, BENCH.md).
-    Indices stay valid and pad lanes carry the sentinel n."""
+    per config. Off by default — measured 16% SLOWER than per-draw buckets
+    on the headline config (the monotone floor ratchets to the p99 draw's
+    shape; BENCH.md round 4). Indices stay valid and pad lanes carry the
+    sentinel n."""
     from avjepa_tpu.layout import DEFAULT_AV_LAYOUT
     from avjepa_tpu.masks.multiblock3d import make_mask_collator
 
@@ -145,7 +147,7 @@ def test_sticky_bucket_converges_to_one_shape():
           "spatial_scale": [0.15, 0.15], "temporal_scale": [1.0, 1.0]},
          {"aspect_ratio": [0.75, 1.5], "num_blocks": 2,
           "spatial_scale": [0.7, 0.7], "temporal_scale": [1.0, 1.0]}],
-        lo, base_seed=0,
+        lo, base_seed=0, sticky_buckets=True,
     )
     n = lo.num_tokens
     shapes = []

@@ -95,13 +95,17 @@ def masks_to_index_lists(masksets):
 
 
 def ref_train_steps(enc, pred, target, videos, audios, mask_lists, loss_exp=1.0,
-                    reg_coeff=0.0):
+                    reg_coeff=0.0, autocast_dtype=None):
     """Run the reference training math for len(videos) steps; return losses.
 
     reg_coeff > 0 adds the reference's predictor-variance regularizer
     (app/avjepa/train.py:497-509): pstd = mean over configs of
     sqrt(var over tokens(z) + 1e-4); loss += reg_coeff * mean(relu(1-pstd)).
+    autocast_dtype wraps forwards + loss in torch.autocast — the reference's
+    mixed-precision path (app/avjepa/train.py:502-524 wraps forward_target/
+    forward_context/loss_fn in autocast; backward+opt run outside).
     """
+    import contextlib
     import sys
 
     sys.path.insert(0, "/root/reference")
@@ -141,35 +145,39 @@ def ref_train_steps(enc, pred, target, videos, audios, mask_lists, loss_exp=1.0,
         ta = torch.from_numpy(audios[step].transpose(0, 3, 1, 2))
         masks = mask_lists[step]
 
-        with torch.no_grad():
-            h = target(tv, ta)
-            h = torch.nn.functional.layer_norm(h, (h.size(-1),))
-            hv, ha = torch.split(h, [nv, LAYOUT.num_audio_tokens], dim=1)
+        amp = (torch.autocast("cpu", dtype=autocast_dtype)
+               if autocast_dtype is not None else contextlib.nullcontext())
+        with amp:
+            with torch.no_grad():
+                h = target(tv, ta)
+                h = torch.nn.functional.layer_norm(h, (h.size(-1),))
+                hv, ha = torch.split(h, [nv, LAYOUT.num_audio_tokens], dim=1)
 
-        loss = 0.0
-        pstd_sum = 0.0
-        for mi, (ev, ea, pv, pa) in enumerate(masks):
-            z = enc(tv, ta, masks=(ev, ea))
-            zv, za = torch.split(z, [ev.shape[1], ea.shape[1]], dim=1)
-            out = pred(
-                (zv, za),
-                (torch.zeros(BATCH, pv.shape[1], EMBED),
-                 torch.zeros(BATCH, pa.shape[1], EMBED)),
-                (ev, ea), (pv, pa), mask_index=mi,
-            )
-            tgt = torch.cat(
-                [torch.gather(hv, 1, pv.unsqueeze(-1).expand(-1, -1, EMBED)),
-                 torch.gather(ha, 1, pa.unsqueeze(-1).expand(-1, -1, EMBED))],
-                dim=1,
-            )
-            loss = loss + torch.mean(torch.abs(out - tgt) ** loss_exp) / loss_exp
-            pstd_sum = pstd_sum + torch.sqrt(out.var(dim=1) + 0.0001)
-        loss = loss / len(masks)
-        if reg_coeff > 0.0:
-            pstd = pstd_sum / len(masks)
-            loss = loss + reg_coeff * torch.mean(
-                torch.nn.functional.relu(1.0 - pstd)
-            )
+            loss = 0.0
+            pstd_sum = 0.0
+            for mi, (ev, ea, pv, pa) in enumerate(masks):
+                z = enc(tv, ta, masks=(ev, ea))
+                zv, za = torch.split(z, [ev.shape[1], ea.shape[1]], dim=1)
+                out = pred(
+                    (zv, za),
+                    (torch.zeros(BATCH, pv.shape[1], EMBED),
+                     torch.zeros(BATCH, pa.shape[1], EMBED)),
+                    (ev, ea), (pv, pa), mask_index=mi,
+                )
+                tgt = torch.cat(
+                    [torch.gather(hv, 1, pv.unsqueeze(-1).expand(-1, -1, EMBED)),
+                     torch.gather(ha, 1, pa.unsqueeze(-1).expand(-1, -1, EMBED))],
+                    dim=1,
+                )
+                loss = (loss
+                        + torch.mean(torch.abs(out - tgt) ** loss_exp) / loss_exp)
+                pstd_sum = pstd_sum + torch.sqrt(out.var(dim=1) + 0.0001)
+            loss = loss / len(masks)
+            if reg_coeff > 0.0:
+                pstd = pstd_sum / len(masks)
+                loss = loss + reg_coeff * torch.mean(
+                    torch.nn.functional.relu(1.0 - pstd)
+                )
 
         loss.backward()
         opt.step()

@@ -16,7 +16,8 @@ import os
 import sys
 
 
-def capture(model="vit_large", batch=24, steps=3, trace_dir="/tmp/avjepa_trace"):
+def capture(model="vit_large", batch=24, steps=3, trace_dir="/tmp/avjepa_trace",
+            variant="light"):
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
@@ -47,7 +48,11 @@ def capture(model="vit_large", batch=24, steps=3, trace_dir="/tmp/avjepa_trace")
         jnp.asarray(union) if handles.compact_pred and union is not None else None,
     )
     state = handles.state
-    state, m = handles.step_fn(state, *args)
+    # 'light' profiles the production hot-loop step (diagnostic reductions
+    # skipped off log_freq boundaries); 'full' the every-metric variant
+    step = (handles.step_fn_light or handles.step_fn) if variant == "light" \
+        else handles.step_fn
+    state, m = step(state, *args)
     float(jax.device_get(m["loss"]))
 
     import shutil
@@ -55,7 +60,7 @@ def capture(model="vit_large", batch=24, steps=3, trace_dir="/tmp/avjepa_trace")
     shutil.rmtree(trace_dir, ignore_errors=True)
     jax.profiler.start_trace(trace_dir)
     for _ in range(steps):
-        state, m = handles.step_fn(state, *args)
+        state, m = step(state, *args)
     float(jax.device_get(m["loss"]))
     jax.profiler.stop_trace()
     return trace_dir, steps
@@ -121,5 +126,6 @@ if __name__ == "__main__":
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     top_k = int(sys.argv[4]) if len(sys.argv) > 4 else 40
-    d, s = capture(model, batch, steps)
+    variant = sys.argv[5] if len(sys.argv) > 5 else "light"
+    d, s = capture(model, batch, steps, variant=variant)
     summarize(d, s, top_k)
