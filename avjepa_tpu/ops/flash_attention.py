@@ -607,8 +607,13 @@ def _flash_packed_fwd_impl(qkv, mask3, scale, h, d):
     w = hpb * d
     G = h // hpb
     # one head's f32 score tile lives at a time; 12 MB admits a full-width
-    # q-block at JEPA sizes (N=1664 -> one sweep, no q-loop)
-    block_q, _ = _pick_blocks(n, s_budget_bytes=12 * 1024 * 1024)
+    # q-block at JEPA sizes (N=1664 -> one sweep, no q-loop). Budgets are
+    # tuned for bf16 rows: at f32 the q/k/v/o row refs double, so halve the
+    # score budget to keep the Mosaic stack inside the 100 MB scoped window
+    # (used by the f32 comparator path of tools/parity_bf16.py).
+    f32_rows = qkv.dtype == jnp.float32
+    block_q, _ = _pick_blocks(
+        n, s_budget_bytes=(6 if f32_rows else 12) * 1024 * 1024)
     nq = n // block_q
 
     in_specs, grid = _packed_specs(b, n, c, w, G, mask3 is not None)
@@ -655,7 +660,12 @@ def _flash_packed_bwd_impl(qkv, mask3, lse, delta, g, scale, h, d):
     # live, so the q-block can be twice the classic bwd's (10 MB f32 tile
     # budget -> 832 at N=1664): fewer, larger VPU sweeps per score tile.
     # (A 23 MB/full-width budget was tried: Mosaic compile time explodes.)
-    block_q = _bwd_block_q(n, n, s_budget_bytes=10_000_000)
+    # Budgets assume bf16 rows; f32 rows double the ref footprint (measured:
+    # 123.9 MB stack vs the 100 MB scoped-vmem window at Ku=1408 f32), so
+    # shrink the q-block to compensate.
+    f32_rows = qkv.dtype == jnp.float32
+    block_q = _bwd_block_q(n, n, s_budget_bytes=5_000_000 if f32_rows
+                           else 10_000_000)
     nq = n // block_q
 
     in_specs, grid = _packed_specs(b, n, c, w, G, mask3 is not None)
