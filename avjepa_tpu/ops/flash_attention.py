@@ -613,7 +613,7 @@ def _flash_packed_fwd_impl(qkv, mask3, scale, h, d):
     # (used by the f32 comparator path of tools/parity_bf16.py).
     f32_rows = qkv.dtype == jnp.float32
     block_q, _ = _pick_blocks(
-        n, s_budget_bytes=(6 if f32_rows else 12) * 1024 * 1024)
+        n, s_budget_bytes=(3 if f32_rows else 12) * 1024 * 1024)
     nq = n // block_q
 
     in_specs, grid = _packed_specs(b, n, c, w, G, mask3 is not None)
@@ -661,10 +661,12 @@ def _flash_packed_bwd_impl(qkv, mask3, lse, delta, g, scale, h, d):
     # budget -> 832 at N=1664): fewer, larger VPU sweeps per score tile.
     # (A 23 MB/full-width budget was tried: Mosaic compile time explodes.)
     # Budgets assume bf16 rows; f32 rows double the ref footprint (measured:
-    # 123.9 MB stack vs the 100 MB scoped-vmem window at Ku=1408 f32), so
-    # shrink the q-block to compensate.
+    # 123.9 MB stack vs the 100 MB scoped-vmem window at Ku=1408 f32), and
+    # at the high-unroll predictor geometry (hpb=16, N=1536) Mosaic's
+    # register allocator additionally spilled 92 MB at block_q=768, so the
+    # f32 budget is a quarter of bf16's (block_q 256 at N=1536), not half.
     f32_rows = qkv.dtype == jnp.float32
-    block_q = _bwd_block_q(n, n, s_budget_bytes=5_000_000 if f32_rows
+    block_q = _bwd_block_q(n, n, s_budget_bytes=2_000_000 if f32_rows
                            else 10_000_000)
     nq = n // block_q
 

@@ -22,10 +22,18 @@ drift of that exact path two ways:
                 bf16 step (XLA attention on CPU; the flash kernel's bf16
                 forward is separately tested bit-identical to XLA), both
                 from identical weights/data/masks.
+  --mode dtype-control
+                (CPU) the REFERENCE compared against ITSELF: torch f32 vs
+                torch autocast(bf16) from identical weights/data/masks.
+                This isolates how much loss-curve drift the bf16 dtype
+                *intrinsically* causes in the reference's own training
+                math, independent of any framework difference — the
+                yardstick for judging the chip-mode bf16-vs-f32 number.
 
 Usage:
   python tools/parity_bf16.py --mode chip  [--model vit_large] [--batch 24] [--steps 200]
   python tools/parity_bf16.py --mode torch [--steps 60] [--reg-coeff 0.1]
+  python tools/parity_bf16.py --mode dtype-control [--steps 200] [--reg-coeff 0.1]
 """
 
 from __future__ import annotations
@@ -241,9 +249,52 @@ def mode_torch(steps: int, reg_coeff: float):
                              "torch-AMP(bf16)", "jax-bf16")
 
 
+def mode_dtype_control(steps: int, reg_coeff: float):
+    """Reference-vs-itself: torch f32 vs torch autocast(bf16), same
+    weights/data/masks.  make_ref_models() reseeds torch.manual_seed(0), so
+    two calls give bit-identical initial weights; ref_train_steps mutates
+    its models in place, so each run gets a fresh triple."""
+    import numpy as np
+    import torch
+
+    import test_step_parity as h
+    from avjepa_tpu.masks import AVMaskCollator
+
+    rng = np.random.default_rng(42)
+    videos = [rng.normal(size=(h.BATCH, h.FRAMES, h.CROP, h.CROP, 3))
+              .astype(np.float32) for _ in range(steps)]
+    audios = [rng.normal(size=(h.BATCH, 128, 192, 1)).astype(np.float32)
+              for _ in range(steps)]
+    coll = AVMaskCollator(
+        [{"aspect_ratio": [0.75, 1.5], "num_blocks": 2,
+          "spatial_scale": [0.2, 0.2], "temporal_scale": [1.0, 1.0]},
+         {"aspect_ratio": [0.75, 1.5], "num_blocks": 1,
+          "spatial_scale": [0.6, 0.6], "temporal_scale": [1.0, 1.0]}],
+        h.LAYOUT, base_seed=9,
+    )
+    mask_lists = [h.masks_to_index_lists(m) for m in
+                  [coll(h.BATCH) for _ in range(steps)]]
+    h.SCHED["ipe"] = max(2, steps // 4)
+
+    print(f"== reference torch f32, {steps} steps ==")
+    enc, pred, target = h.make_ref_models()
+    f32_losses = h.ref_train_steps(enc, pred, target, videos, audios,
+                                   mask_lists, reg_coeff=reg_coeff)
+    print(f"== reference torch autocast(bf16), {steps} steps, same "
+          "weights/data/masks ==")
+    enc, pred, target = h.make_ref_models()
+    bf16_losses = h.ref_train_steps(enc, pred, target, videos, audios,
+                                    mask_lists, reg_coeff=reg_coeff,
+                                    autocast_dtype=torch.bfloat16)
+    return _deviation_report(f32_losses, bf16_losses,
+                             "torch-f32", "torch-bf16",
+                             print_every=max(1, steps // 40))
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("--mode", choices=["chip", "torch"], default="chip")
+    ap.add_argument("--mode", choices=["chip", "torch", "dtype-control"],
+                    default="chip")
     ap.add_argument("--model", default="vit_large")
     ap.add_argument("--batch", type=int, default=24)
     ap.add_argument("--steps", type=int, default=200)
@@ -251,6 +302,8 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.mode == "chip":
         mode_chip(args.model, args.batch, args.steps)
+    elif args.mode == "dtype-control":
+        mode_dtype_control(args.steps, args.reg_coeff)
     else:
         mode_torch(min(args.steps, 60) if args.steps == 200 else args.steps,
                    args.reg_coeff)
