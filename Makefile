@@ -19,7 +19,8 @@ bench: native
 # CI-scale variant (its defaults).
 chain: native
 	python tools/run_chain.py --model vit_large --crop 224 --frames 16 \
-		--batch 24 --clips 100 --clip-size 256 --ipe 50 --epochs 2 --workers 4
+		--batch 24 --clips 150 --clip-size 256 --ipe 50 --epochs 6 \
+		--eval-epochs 10 --workers 4
 
 clean:
 	$(MAKE) -C native clean

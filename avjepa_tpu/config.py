@@ -47,6 +47,10 @@ class DataConfig:
     # the reference reads mask_type from the data section
     # (app/avjepa/train.py:108); takes precedence over tpu.mask_type
     mask_type: Optional[str] = None
+    # TPU build extension: held-out CSVs for reconstruction/classification
+    # evals. When unset, file-backed evals fall back to `datasets` (the
+    # training split) and say so loudly.
+    val_datasets: Optional[Sequence[str]] = None
     # start the /proc resource sampler (reference carries the knob but its
     # monitor is dormant; ours works — utils/monitoring.py)
     log_resource_utilization: bool = False

@@ -19,7 +19,9 @@ eval-grade data contract the training pipeline deliberately does NOT have:
 Reported metrics are per-modality: full-frame video MSE + PSNR (fixed 4.0
 dynamic range — ImageNet-normalized pixels span ~[-2.1, 2.6]) and
 full-spectrogram audio MSE + PSNR (fixed 80 dB range — mel power_to_db uses
-``top_db=80``, so spectrograms span [-80, 0]).
+``top_db=80``, so spectrograms span [-80, 0]). Metrics cover EVERY mask
+config in ``cfg.mask`` (averaged, with per-config values alongside), not
+just the first.
 """
 
 from __future__ import annotations
@@ -61,9 +63,17 @@ class _CenterCropEval:
 
 
 def build_eval_loader(cfg, layout, seed_salt: int = 101) -> JepaLoader:
-    """Held-out deterministic loader: uniform clip windows, center crop,
-    no shuffle, seeded per-invocation mask collator."""
-    if cfg.data.source == "synthetic" or not cfg.data.datasets:
+    """Deterministic eval loader: uniform clip windows, center crop,
+    no shuffle, seeded per-invocation mask collator.
+
+    Data disjointness: the synthetic branch is genuinely held out (seed
+    disjoint from training); the file branch reads ``cfg.data.val_datasets``
+    when set, and otherwise falls back to ``cfg.data.datasets`` — the
+    TRAINING split — with a loud warning (the reference has no validation
+    split convention for this eval; its eval.py is a stub)."""
+    if cfg.data.source == "synthetic" or not (
+        cfg.data.val_datasets or cfg.data.datasets
+    ):
         # a synthetic stream disjoint from the training one (different seed)
         dataset = SyntheticAVDataset(
             layout,
@@ -73,8 +83,15 @@ def build_eval_loader(cfg, layout, seed_salt: int = 101) -> JepaLoader:
     else:
         from avjepa_tpu.data.av_dataset import AVFileDataset
 
+        csvs = cfg.data.val_datasets
+        if not csvs:
+            get_logger(rank=jax.process_index()).warning(
+                "data.val_datasets is unset; evaluating on the TRAINING "
+                "split (data.datasets) — metrics are not held out"
+            )
+            csvs = cfg.data.datasets
         dataset = AVFileDataset(
-            csv_paths=list(cfg.data.datasets),
+            csv_paths=list(csvs),
             layout=layout,
             frames_per_clip=cfg.data.num_frames,
             frame_step=cfg.data.sampling_rate,
@@ -132,12 +149,18 @@ def load_probe_state_strict(probe_dir: str, probe_state_like):
         ck.close()
 
 
-def run(cfg, max_batches: int = 50, require_probe: bool = True) -> dict:
+def run(cfg, max_batches: int = 50, require_probe: bool = True,
+        require_jepa: Optional[bool] = None) -> dict:
     logger = get_logger(rank=jax.process_index())
     handles, probe, probe_state, _ = avprediction.setup_probe(cfg)
 
-    # frozen pretrained JEPA weights (same restore path as probe training)
-    avprediction.restore_jepa_weights(handles, cfg, logger)
+    # frozen pretrained JEPA weights (same restore path as probe training);
+    # strict by default, mirroring require_probe — a missing/empty
+    # meta.read_checkpoint must raise, not silently score a random encoder
+    if require_jepa is None:
+        require_jepa = require_probe
+    avprediction.restore_jepa_weights(handles, cfg, logger,
+                                      require=require_jepa)
 
     folder = cfg.logging.folder
     probe_dir = os.path.join(folder, f"{cfg.logging.write_tag}-probe-ckpt")
@@ -156,59 +179,79 @@ def run(cfg, max_batches: int = 50, require_probe: bool = True) -> dict:
     loader = build_eval_loader(cfg, layout)
 
     state = handles.state
-    enc_params = state.target_params
-    pred_params = state.pred_params
     audio_enabled = layout.audio_enabled
+    num_mask_cfgs = len(cfg.mask)
 
     @jax.jit
-    def reconstruct(video, audio, enc_m, pred_m):
-        ctx = handles.encoder.apply(
-            {"params": enc_params}, video, audio, key_mask=enc_m
-        )
-        z = handles.predictor.apply(
-            {"params": pred_params}, ctx, enc_m, pred_m, 0
-        )
-        full = jnp.where(enc_m[..., None], ctx, jnp.where(pred_m[..., None], z, 0.0))
-        vr, ar = probe.apply({"params": probe_state.probe_params}, full)
-        mse_v = jnp.mean((vr.astype(jnp.float32) - video.astype(jnp.float32)) ** 2)
-        if audio is None or ar is None:
-            mse_a = jnp.zeros(())
-        else:
-            mse_a = jnp.mean(
-                (ar.astype(jnp.float32) - audio.astype(jnp.float32)) ** 2
-            )
-        return mse_v, mse_a
+    def reconstruct(probe_params, enc_params, pred_params,
+                    video, audio, enc_ms, pred_ms):
+        """Per-mask-config (video MSE, audio MSE), stacked over configs.
 
-    v_meter, a_meter = AverageMeter(), AverageMeter()
+        Params are jit ARGUMENTS (not closure constants) so the executable
+        does not bake model weights in; the static unroll over mask configs
+        mirrors the training step's multimask loop (train/step.py)."""
+        mvs, mas = [], []
+        for mi in range(num_mask_cfgs):
+            enc_m, pred_m = enc_ms[mi], pred_ms[mi]
+            ctx = handles.encoder.apply(
+                {"params": enc_params}, video, audio, key_mask=enc_m
+            )
+            z = handles.predictor.apply(
+                {"params": pred_params}, ctx, enc_m, pred_m, mi
+            )
+            full = jnp.where(
+                enc_m[..., None], ctx, jnp.where(pred_m[..., None], z, 0.0)
+            )
+            vr, ar = probe.apply({"params": probe_params}, full)
+            mvs.append(jnp.mean(
+                (vr.astype(jnp.float32) - video.astype(jnp.float32)) ** 2))
+            if audio is None or ar is None:
+                mas.append(jnp.zeros(()))
+            else:
+                mas.append(jnp.mean(
+                    (ar.astype(jnp.float32) - audio.astype(jnp.float32)) ** 2))
+        return jnp.stack(mvs), jnp.stack(mas)
+
+    v_meters = [AverageMeter() for _ in range(num_mask_cfgs)]
+    a_meters = [AverageMeter() for _ in range(num_mask_cfgs)]
     for bi, (video, audio, _, masks) in enumerate(iter(loader)):
         if bi >= max_batches:
             break
         enc_m, pred_m = stack_masksets(masks)
         mv, ma = reconstruct(
+            probe_state.probe_params, state.target_params, state.pred_params,
             jnp.asarray(video),
             None if audio is None else jnp.asarray(audio),
-            jnp.asarray(enc_m[0]),
-            jnp.asarray(pred_m[0]),
+            jnp.asarray(enc_m),
+            jnp.asarray(pred_m),
         )
-        v_meter.update(float(jax.device_get(mv)))
-        a_meter.update(float(jax.device_get(ma)))
+        mv, ma = np.asarray(jax.device_get(mv)), np.asarray(jax.device_get(ma))
+        for mi in range(num_mask_cfgs):
+            v_meters[mi].update(float(mv[mi]))
+            a_meters[mi].update(float(ma[mi]))
 
     def psnr(mse: float, rng: float) -> float:
         return 10.0 * np.log10(max(1e-12, rng**2 / max(mse, 1e-12)))
 
+    mse_v_per = [m.avg for m in v_meters]
+    mse_a_per = [m.avg for m in a_meters]
+    mse_v = float(np.mean(mse_v_per))
     summary = {
-        "mse_video": v_meter.avg,
-        "psnr_video_db": psnr(v_meter.avg, _VIDEO_RANGE),
-        "num_batches": v_meter.count,
+        "mse_video": mse_v,
+        "psnr_video_db": psnr(mse_v, _VIDEO_RANGE),
+        "mse_video_per_mask": mse_v_per,
+        "num_batches": v_meters[0].count,
     }
     msg = (
-        f"[av_prediction eval] video MSE {v_meter.avg:.5f} "
-        f"({summary['psnr_video_db']:.1f} dB)"
+        f"[av_prediction eval] video MSE {mse_v:.5f} "
+        f"({summary['psnr_video_db']:.1f} dB) over {num_mask_cfgs} mask cfgs"
     )
     if audio_enabled:
-        summary["mse_audio"] = a_meter.avg
-        summary["psnr_audio_db"] = psnr(a_meter.avg, _AUDIO_RANGE_DB)
-        msg += f" | audio MSE {a_meter.avg:.5f} ({summary['psnr_audio_db']:.1f} dB)"
+        mse_a = float(np.mean(mse_a_per))
+        summary["mse_audio"] = mse_a
+        summary["psnr_audio_db"] = psnr(mse_a, _AUDIO_RANGE_DB)
+        summary["mse_audio_per_mask"] = mse_a_per
+        msg += f" | audio MSE {mse_a:.5f} ({summary['psnr_audio_db']:.1f} dB)"
     logger.info(msg)
     return summary
 

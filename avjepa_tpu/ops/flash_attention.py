@@ -608,9 +608,10 @@ def _flash_packed_fwd_impl(qkv, mask3, scale, h, d):
     G = h // hpb
     # one head's f32 score tile lives at a time; 12 MB admits a full-width
     # q-block at JEPA sizes (N=1664 -> one sweep, no q-loop). Budgets are
-    # tuned for bf16 rows: at f32 the q/k/v/o row refs double, so halve the
-    # score budget to keep the Mosaic stack inside the 100 MB scoped window
-    # (used by the f32 comparator path of tools/parity_bf16.py).
+    # tuned for bf16 rows: at f32 the q/k/v/o row refs double, so drop the
+    # score budget to a QUARTER (12 MB -> 3 MB) to keep the Mosaic stack
+    # inside the 100 MB scoped window (used by the f32 comparator path of
+    # tools/parity_bf16.py; the bwd path below uses the same quartering).
     f32_rows = qkv.dtype == jnp.float32
     block_q, _ = _pick_blocks(
         n, s_budget_bytes=(3 if f32_rows else 12) * 1024 * 1024)

@@ -147,27 +147,45 @@ def setup_probe(cfg: ExperimentConfig, mesh=None):
     return handles, probe, probe_state, step_fn
 
 
-def restore_jepa_weights(handles, cfg: ExperimentConfig, logger) -> None:
+def restore_jepa_weights(handles, cfg: ExperimentConfig, logger,
+                         require: bool = False) -> bool:
     """Restore the frozen pretrained JEPA state from cfg.meta.read_checkpoint
-    into handles.state (in place). No-op when the checkpoint is absent."""
+    into handles.state (in place). Returns True when weights were restored.
+
+    When the checkpoint is missing/empty this warns loudly (the frozen
+    encoder would silently be the random init otherwise) and, with
+    ``require=True`` (set by evals/av_prediction.run, mirroring its strict
+    probe restore), raises instead of no-op."""
     jepa_ckpt_dir = cfg.meta.read_checkpoint
     state = handles.state
     if jepa_ckpt_dir and os.path.isdir(jepa_ckpt_dir):
         ck = CheckpointManager(jepa_ckpt_dir)
-        if ck.latest_step() is not None:
-            # restore into an abstract template AFTER freeing the init
-            # state's device buffers — keeping both full states alive OOMs
-            # large models on one chip (see train/pretrain.py resume)
-            like = jax.tree_util.tree_map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
-                                               sharding=x.sharding),
-                state,
-            )
-            for leaf in jax.tree_util.tree_leaves(state):
-                leaf.delete()
-            handles.state = ck.restore(like)
-            logger.info("restored frozen JEPA weights")
-        ck.close()
+        try:
+            if ck.latest_step() is not None:
+                # restore into an abstract template AFTER freeing the init
+                # state's device buffers — keeping both full states alive OOMs
+                # large models on one chip (see train/pretrain.py resume)
+                like = jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                                   sharding=x.sharding),
+                    state,
+                )
+                for leaf in jax.tree_util.tree_leaves(state):
+                    leaf.delete()
+                handles.state = ck.restore(like)
+                logger.info("restored frozen JEPA weights")
+                return True
+        finally:
+            ck.close()
+    msg = (
+        f"no pretrained JEPA checkpoint at meta.read_checkpoint="
+        f"{jepa_ckpt_dir!r}; the frozen encoder/predictor are RANDOMLY "
+        "INITIALIZED"
+    )
+    if require:
+        raise FileNotFoundError(msg)
+    logger.warning(msg)
+    return False
 
 
 def run(

@@ -418,6 +418,11 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
             ("%.2e", "opt-nu-abs"),
             ("%.1f", "step-time-ms"),
             ("%.1f", "iter-time-ms"),
+            # 1 when the diagnostic columns (grad-avg..opt-nu-abs) were
+            # computed THIS step; 0 when tpu.light_metrics carried them
+            # forward from the last full step (they'd otherwise be
+            # indistinguishable from fresh per-step values)
+            ("%d", "full-metrics"),
         )
 
         ckpt = CheckpointManager(os.path.join(folder, f"{tag}-ckpt"))
@@ -523,7 +528,7 @@ def run(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> dict:
                     _stat("enc_grad_first_qkv"),
                     _stat("enc_grad_last_qkv"),
                     _stat("opt_mu_abs"), _stat("opt_nu_abs"),
-                    t.elapsed_ms, iter_ms,
+                    t.elapsed_ms, iter_ms, int(full),
                 )
                 if itr % cfg.logging.log_freq == 0:
                     logger.info(

@@ -301,10 +301,12 @@ extern "C" int avdec_write_test_video(const char* path, int n_frames, int w,
   const int sr = 44100;
 
   {
+    if (!pkt) { err = -11; goto done; }
     const AVCodec* vc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
     if (!vc) { err = -2; goto done; }
     vst = avformat_new_stream(fmt, vc);
     venc = avcodec_alloc_context3(vc);
+    if (!vst || !venc) { err = -12; goto done; }
     venc->width = w;
     venc->height = h;
     venc->pix_fmt = AV_PIX_FMT_YUV420P;
@@ -322,6 +324,7 @@ extern "C" int avdec_write_test_video(const char* path, int n_frames, int w,
       if (!ac) { err = -4; goto done; }
       ast = avformat_new_stream(fmt, ac);
       aenc = avcodec_alloc_context3(ac);
+      if (!ast || !aenc) { err = -13; goto done; }
       aenc->sample_rate = sr;
       av_channel_layout_default(&aenc->ch_layout, 1);
       aenc->sample_fmt = AV_SAMPLE_FMT_S16;
@@ -337,6 +340,7 @@ extern "C" int avdec_write_test_video(const char* path, int n_frames, int w,
     if (avformat_write_header(fmt, nullptr) < 0) { err = -7; goto done; }
 
     vframe = av_frame_alloc();
+    if (!vframe) { err = -14; goto done; }
     vframe->format = AV_PIX_FMT_YUV420P;
     vframe->width = w;
     vframe->height = h;
@@ -374,6 +378,7 @@ extern "C" int avdec_write_test_video(const char* path, int n_frames, int w,
       long total = (long)(n_frames / fps * sr);
       const int chunk = 4096;
       aframe = av_frame_alloc();
+      if (!aframe) { err = -15; goto done; }
       aframe->format = AV_SAMPLE_FMT_S16;
       av_channel_layout_default(&aframe->ch_layout, 1);
       aframe->sample_rate = sr;
@@ -450,10 +455,12 @@ extern "C" int avdec_encode_av(const char* path, const unsigned char* rgb,
   const int with_audio = (pcm != nullptr && n_samples > 0);
 
   {
+    if (!pkt) { err = -11; goto done; }
     const AVCodec* vc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
     if (!vc) { err = -2; goto done; }
     vst = avformat_new_stream(fmt, vc);
     venc = avcodec_alloc_context3(vc);
+    if (!vst || !venc) { err = -12; goto done; }
     venc->width = w;
     venc->height = h;
     venc->pix_fmt = AV_PIX_FMT_YUV420P;
@@ -471,6 +478,7 @@ extern "C" int avdec_encode_av(const char* path, const unsigned char* rgb,
       if (!ac) { err = -4; goto done; }
       ast = avformat_new_stream(fmt, ac);
       aenc = avcodec_alloc_context3(ac);
+      if (!ast || !aenc) { err = -13; goto done; }
       aenc->sample_rate = sr;
       av_channel_layout_default(&aenc->ch_layout, 1);
       aenc->sample_fmt = AV_SAMPLE_FMT_S16;
@@ -486,6 +494,7 @@ extern "C" int avdec_encode_av(const char* path, const unsigned char* rgb,
     if (avformat_write_header(fmt, nullptr) < 0) { err = -7; goto done; }
 
     vframe = av_frame_alloc();
+    if (!vframe) { err = -14; goto done; }
     vframe->format = AV_PIX_FMT_YUV420P;
     vframe->width = w;
     vframe->height = h;
@@ -517,6 +526,7 @@ extern "C" int avdec_encode_av(const char* path, const unsigned char* rgb,
     if (with_audio) {
       const int chunk = 4096;
       aframe = av_frame_alloc();
+      if (!aframe) { err = -15; goto done; }
       aframe->format = AV_SAMPLE_FMT_S16;
       av_channel_layout_default(&aframe->ch_layout, 1);
       aframe->sample_rate = sr;

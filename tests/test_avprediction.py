@@ -73,22 +73,30 @@ def test_av_prediction_eval(tmp_path):
     from avjepa_tpu.evals.av_prediction import run as eval_run
 
     cfg = make_cfg(tmp_path / "e")
-    # missing probe checkpoint: strict by default
+    # missing JEPA checkpoint: strict by default (the frozen encoder must
+    # never silently be the random init)
     with pytest.raises(FileNotFoundError):
         eval_run(cfg, max_batches=1)
-    # untrained control (init probe)
-    base = eval_run(cfg, max_batches=2, require_probe=False)
+    # missing probe checkpoint: also strict
+    with pytest.raises(FileNotFoundError):
+        eval_run(cfg, max_batches=1, require_jepa=False)
+    # untrained control (init probe, init encoder — synthetic-only test)
+    base = eval_run(cfg, max_batches=2, require_probe=False,
+                    require_jepa=False)
     assert np.isfinite(base["mse_video"]) and np.isfinite(base["mse_audio"])
+    # per-mask-config coverage: one meter per cfg.mask entry
+    assert len(base["mse_video_per_mask"]) == len(cfg.mask)
+    assert len(base["mse_audio_per_mask"]) == len(cfg.mask)
     # train the probe, then the strict eval must find and beat the control
     cfg.optimization.ipe = 30
     avprediction.run(cfg, max_steps=30)
-    trained = eval_run(cfg, max_batches=2)
+    trained = eval_run(cfg, max_batches=2, require_jepa=False)
     assert trained["mse_video"] < base["mse_video"], (trained, base)
     assert trained["mse_audio"] < base["mse_audio"], (trained, base)
     assert trained["psnr_video_db"] > base["psnr_video_db"]
     assert trained["psnr_audio_db"] > base["psnr_audio_db"]
     # deterministic: identical numbers on a rerun
-    again = eval_run(cfg, max_batches=2)
+    again = eval_run(cfg, max_batches=2, require_jepa=False)
     assert again == trained
 
 

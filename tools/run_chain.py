@@ -159,6 +159,10 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--ipe", type=int, default=20)
     ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--eval-epochs", type=int, default=10,
+                    help="attentive-probe epochs for the frozen eval stages "
+                    "(the probe is the learning-gap discriminator; 1 epoch "
+                    "underfits it on both the pretrained and control side)")
     ap.add_argument("--workers", type=int, default=2)
     ap.add_argument("--clip-size", type=int, default=160,
                     help="generated clip frame w=h (transforms resize)")
@@ -277,7 +281,7 @@ def main():
             "num_workers": args.workers,
         },
         "optimization": {
-            "num_epochs": 1,
+            "num_epochs": args.eval_epochs,
             "resolution": args.crop,
             "batch_size": args.batch,
             "attend_across_segments": True,
