@@ -14,13 +14,21 @@ bench: native
 	python bench.py
 
 # full real-media pipeline through the real CLIs (pretrain -> checkpoint
-# roundtrip -> frozen eval -> avprediction probe -> example PNG); flagship
-# geometry — takes a real TPU chip. See tools/run_chain.py for the tiny
-# CI-scale variant (its defaults).
+# roundtrip -> frozen eval + random-encoder control -> avprediction probe ->
+# example PNG -> extract); flagship geometry — takes a real TPU chip.
 chain: native
 	python tools/run_chain.py --model vit_large --crop 224 --frames 16 \
 		--batch 24 --clips 150 --clip-size 256 --ipe 50 --epochs 6 \
-		--eval-epochs 10 --workers 4
+		--eval-epochs 10 --workers 4 --assert-learning \
+		--out-json bench_artifacts/chain_flagship.json
+
+# tiny CI-scale chain (vit_tiny, CPU-runnable): same six stages + the
+# learning-gap assertion; regenerates the committed evidence artifact.
+# tests/test_end_to_end_files.py gates a pytest wrapper on
+# AVJEPA_RUN_CHAIN_CI=1 (it is a long test).
+chain-ci: native
+	python tools/run_chain.py --assert-learning \
+		--out-json bench_artifacts/chain_ci.json
 
 clean:
 	$(MAKE) -C native clean

@@ -158,6 +158,36 @@ def test_multichip_compile_no_involuntary_remat(tmp_path, capfd):
     assert "Involuntary full rematerialization" not in err, err[-2000:]
 
 
+def test_data8_compile_and_step(tmp_path, capfd):
+    """Pure-DP deployment shape: the AV step over a data=8 mesh (all 8
+    virtual devices on the data axis) compiles with a clean SPMD log and
+    executes. Complements the 2x2x2 test above — data=8 is the shape the
+    north-star throughput claim scales on (tools/multichip_data8.py measures
+    its collective bytes at ViT-L geometry)."""
+    from avjepa_tpu.parallel.mesh import make_mesh
+    from avjepa_tpu.train.step import stack_masksets
+
+    # distinctive geometry (crop 80) so no other test's jit-cache entry can
+    # satisfy this compile; cache off so the partitioner genuinely runs
+    cfg = make_cfg(tmp_path, **{"data.batch_size": 1, "data.crop_size": 80})
+    cfg.tpu.mesh_data, cfg.tpu.mesh_fsdp, cfg.tpu.mesh_tensor = 8, 1, 1
+    mesh = make_mesh(8, 1, 1)
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        handles = pretrain.setup(cfg, mesh=mesh)
+        video, audio, _, masks = next(iter(handles.loader))
+        capfd.readouterr()
+        state, metrics = handles.step(handles.state, video, audio, masks)
+        loss = float(jax.device_get(metrics)["loss"])
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err[-2000:]
+    assert np.isfinite(loss)
+    # one loader batch feeds all 8 data shards
+    assert video.shape[0] == 8
+
+
 def test_compact_matches_dense(tmp_path):
     """Compacted context encoding AND compacted predictor must each produce
     the same loss as the fully-dense path."""

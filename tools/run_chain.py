@@ -168,6 +168,11 @@ def main():
                     help="generated clip frame w=h (transforms resize)")
     ap.add_argument("--pred-depth", type=int, default=None)
     ap.add_argument("--pred-embed", type=int, default=None)
+    ap.add_argument("--out-json", default=None,
+                    help="also write the summary JSON to this path")
+    ap.add_argument("--assert-learning", action="store_true",
+                    help="fail unless pretrained val top-1 beats both "
+                    "chance and the random-encoder control by >5 points")
     args = ap.parse_args()
 
     wd = os.path.abspath(args.workdir)
@@ -402,6 +407,26 @@ def main():
     summary["timings_s"] = {k: round(v, 1) for k, v in timings.items()}
     summary["model"] = args.model
     summary["clips"] = args.clips
+
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump({"chain": summary}, f, indent=1)
+    if args.assert_learning:
+        # the chain demonstrates LEARNING only if the pretrained encoder's
+        # probe beats both chance (3 balanced classes) and the same probe on
+        # a random frozen encoder (reference's reason to exist:
+        # evals/video_classification_frozen/eval.py:303-385)
+        pre = summary["eval_val_top1_pretrained"]
+        ctl = summary["eval_val_top1_random_encoder"]
+        chance = 100.0 / 3
+        assert pre is not None and ctl is not None, summary
+        assert pre > chance + 5.0, (
+            f"pretrained probe {pre:.1f}% does not beat chance {chance:.1f}%")
+        assert pre > ctl + 5.0, (
+            f"pretrained probe {pre:.1f}% does not beat the random-encoder "
+            f"control {ctl:.1f}%")
+        print(f"[chain] learning gap OK: pretrained {pre:.1f}% > "
+              f"control {ctl:.1f}% > chance {chance:.1f}%", flush=True)
     print(json.dumps({"chain": summary}), flush=True)
 
 
