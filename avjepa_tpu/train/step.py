@@ -158,7 +158,11 @@ def make_train_step(
                 )
                 b = ctx_c.shape[0]
                 ctx = jnp.zeros((b, n, ctx_c.shape[-1]), ctx_c.dtype)
-                return ctx.at[jnp.arange(b)[:, None], idx].set(ctx_c, mode="drop")
+                # vmapped per-row scatter — the iota-index form is
+                # unpartitionable under GSPMD (see models/predictor.py)
+                return jax.vmap(lambda d, i, u: d.at[i].set(u, mode="drop"))(
+                    ctx, idx, ctx_c
+                )
             return encoder.apply(
                 {"params": enc_params}, video, audio, key_mask=enc_masks[i]
             )
@@ -187,7 +191,12 @@ def make_train_step(
                 {"params": pred_params}, ctx_all, enc_all, pred_all, midx,
                 gather_idx=u_all,
             )
-            zs = [z_all[i::num_cfgs] for i in range(num_cfgs)]
+            # split via reshape (major dim stays batch-sharded), NOT the
+            # strided slice z_all[i::num_cfgs] — GSPMD cannot partition a
+            # stride-M slice of a sharded dim, so the strided form replicated
+            # the per-config cotangents (2 all-reduces of [B,N,D]/step)
+            z_r = z_all.reshape(b, num_cfgs, n, z_all.shape[-1])
+            zs = [z_r[:, i] for i in range(num_cfgs)]
         else:
             zs = [
                 predictor.apply(

@@ -68,8 +68,14 @@ def _shape_bytes(shape_str: str) -> int:
 
 
 def collective_profile(hlo_text: str) -> dict:
-    """Bytes moved per collective kind, from optimized HLO text."""
+    """Bytes moved per collective kind, from optimized HLO text.
+
+    Returns per-kind {count, bytes} plus an `ops` list of every
+    instruction's (kind, bytes, shape) so the dominant movers are
+    attributable, not just summed.
+    """
     prof: dict[str, dict] = {}
+    ops: list = []
     for line in hlo_text.splitlines():
         line = line.strip()
         m = re.match(r"^(?:ROOT )?[%\w.-]+ = (.+?) (" +
@@ -83,6 +89,9 @@ def collective_profile(hlo_text: str) -> dict:
         ent = prof.setdefault(kind, {"count": 0, "bytes": 0})
         ent["count"] += 1
         ent["bytes"] += b
+        ops.append({"kind": kind, "bytes": b, "shape": shape[:200]})
+    ops.sort(key=lambda o: -o["bytes"])
+    prof["ops"] = ops
     return prof
 
 
@@ -150,6 +159,11 @@ def main() -> dict:
 
     hlo = compiled.as_text()
     prof = collective_profile(hlo)
+    ops = prof.pop("ops", [])
+    hlo_path = os.path.join(_REPO, "bench_artifacts",
+                            f"data{args.data}_{args.model}_step.hlo.txt")
+    with open(hlo_path, "w") as f:
+        f.write(hlo)
 
     # parameter/gradient accounting for context
     def tree_bytes(t):
@@ -183,6 +197,8 @@ def main() -> dict:
         "allreduce_bytes": ar_bytes,
         "ring_wire_bytes_per_chip": wire,
         "ici_projection": proj,
+        "top_collectives": ops[:12],
+        "hlo_dump": os.path.relpath(hlo_path, _REPO),
     }
     print(json.dumps(out))
     return out
