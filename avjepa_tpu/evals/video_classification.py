@@ -79,6 +79,16 @@ class VideoEvalConfig:
     # resume the probe classifier from its own checkpoint — opt-in like the
     # reference (eval.py:116), or forced by preemption resume
     resume_checkpoint: bool = False
+    # cached-feature probe mode: the encoder is FROZEN, so encode every train
+    # clip ONCE (deterministic eval views) and keep the features resident on
+    # device, then run ipe*num_epochs probe updates at device speed with no
+    # per-epoch host decode. This is the standard fixed-feature linear-probe
+    # protocol; the reference instead re-decodes + re-augments every epoch
+    # (evals/video_classification_frozen/eval.py:303-385), which on a slow
+    # host caps the probe at a handful of updates. Off by default (parity);
+    # turn on when probe updates, not augmentation variety, are the
+    # bottleneck (e.g. small datasets / many-epoch probes).
+    cache_features: bool = False
     checkpoint_key: str = "target_encoder"
     folder: str = "./eval_logs"
     tag: str = "video-eval"
@@ -122,6 +132,7 @@ def config_from_yaml(d: dict) -> VideoEvalConfig:
         final_lr=opt.get("final_lr", 0.0),
         warmup=opt.get("warmup", 0.0),
         use_bfloat16=opt.get("use_bfloat16", True),
+        cache_features=opt.get("cache_features", False),
         model_name=pre.get("model_name", "vit_large"),
         patch_size=pre.get("patch_size", 16),
         tubelet_size=pre.get("tubelet_size", 2),
@@ -140,9 +151,14 @@ def config_from_yaml(d: dict) -> VideoEvalConfig:
 class VideoClassificationDataset:
     """Multi-segment / multi-view eval dataset (video-only)."""
 
-    def __init__(self, cfg: VideoEvalConfig, train: bool):
+    def __init__(self, cfg: VideoEvalConfig, train: bool,
+                 eval_views: bool = False):
         self.cfg = cfg
         self.train = train
+        # eval_views forces the deterministic eval transform (multi-segment
+        # center views) on the TRAIN file list — the cached-feature probe
+        # mode encodes each train clip once with val-identical geometry
+        self.eval_views = eval_views
         csv = cfg.dataset_train if train else cfg.dataset_val
         self.paths, self.labels, _ = load_index([csv])
         self.train_tf = VideoTransform(
@@ -169,10 +185,11 @@ class VideoClassificationDataset:
         rng = np.random.default_rng(
             [cfg.seed, int(self.train), getattr(self, "_epoch_salt", 0), idx]
         )
+        as_train = self.train and not self.eval_views
         segs = sample_clip_indices(
             vf.num_frames, cfg.frames_per_clip, cfg.frame_step,
-            cfg.num_segments if not self.train else 1,
-            rng, random_clip_sampling=self.train,
+            1 if as_train else cfg.num_segments,
+            rng, random_clip_sampling=as_train,
         )
         all_idx = np.concatenate(segs)
         frames = vf.decode_frames(np.sort(all_idx))
@@ -180,7 +197,7 @@ class VideoClassificationDataset:
         frames = frames[order]
         fpc = cfg.frames_per_clip
         clips = [frames[i * fpc : (i + 1) * fpc] for i in range(len(segs))]
-        if self.train:
+        if as_train:
             views = [[self.train_tf(clips[0], rng)]]
         else:
             views = [self.eval_tf(c) for c in clips]  # [seg][view]
@@ -519,38 +536,11 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
         ("%d", "epoch"), ("%d", "itr"), ("%.5f", "loss"), ("%.3f", "acc"),
         ("%.2e", "lr"),
     )
-    sampler = ShardedSampler(len(train_ds), local_batch, seed=cfg.seed)
-    # worker-pool + prefetch + retry-resample batch pipeline — the pretrain
-    # loader's machinery (a corrupt clip is resampled, not fatal; decode
-    # overlaps device steps). Reference: 8-12-worker eval DataLoaders,
-    # evals/video_classification_frozen/eval.py:447-493.
-    train_loader = JepaLoader(
-        train_ds, sampler, num_workers=cfg.num_workers, collate=collate
-    )
     summary = {}
     total = 0
-    for epoch in range(start_epoch, cfg.num_epochs):
-        train_loader.set_epoch(epoch)
-        meter = AverageMeter()
-        for batched, seg_idx, labels in train_loader:
-            outs = [encode(enc_params, put_batch(mesh, batched[s][0]))
-                    for s in range(len(batched))]
-            feats = aggregate(outs, seg_idx)[0]
-            cls_params, opt, m = train_step(
-                cls_params, opt, step, feats, put_batch(mesh, labels)
-            )
-            step = step + 1
-            m = jax.device_get(m)
-            meter.update(float(m["acc"]) * 100)
-            csv_logger.log(
-                epoch + 1, total, float(m["loss"]), float(m["acc"]) * 100,
-                float(m["lr"]),
-            )
-            total += 1
-            if max_steps is not None and total >= max_steps:
-                break
-        logger.info(f"[eval-train {epoch + 1}] top1(train) {meter.avg:.2f}%")
-        summary["train_acc"] = meter.avg
+    train_loader = None
+
+    def save_probe(epoch: int) -> None:
         # EVERY process calls save: Orbax's save runs a global sync barrier,
         # so a process_index()==0 guard deadlocks multi-host runs (proc 0
         # waits in the barrier, the others move on — caught by the true
@@ -558,6 +548,7 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
         # device_get; Orbax writes it once, from the primary host. Skip
         # zero-step epochs (re-saving a step id raises); force=True
         # overwrites ids left by a previous non-resumed run.
+        nonlocal last_saved
         step_now = int(jax.device_get(step))
         if step_now != last_saved:
             ckpt.save(
@@ -568,8 +559,119 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
                 force=True,
             )
             last_saved = step_now
-        if max_steps is not None and total >= max_steps:
-            break
+
+    if cfg.cache_features:
+        # -- cached-feature probe: encode each train clip ONCE, then run the
+        # full ipe*num_epochs probe updates at device speed. The encoder is
+        # frozen, so fixed features lose only augmentation variety — the
+        # standard fixed-feature probe protocol. Features stay resident on
+        # device (no per-step H2D); the gather rides inside the jitted step.
+        assert jax.process_count() == 1, (
+            "cache_features currently supports single-host runs")
+        if cfg.source == "synthetic":
+            cache_ds = SyntheticVideoClsDataset(cfg, train=True)
+        else:
+            cache_ds = VideoClassificationDataset(
+                cfg, train=True, eval_views=True)
+        seq = ShardedSampler(
+            len(cache_ds), local_batch, shuffle=False, seed=0, drop_last=False)
+        cache_loader = JepaLoader(
+            cache_ds, seq, num_workers=cfg.num_workers,
+            collate=exact_val_collate(collate), retry_resample=False,
+        )
+        chunks, lab_chunks, ok_chunks = [], [], []
+        for (batched, seg_idx, labels, ok), valid in zip(
+            cache_loader, seq.batch_valid_masks()
+        ):
+            outs = [encode(enc_params, put_batch(mesh, batched[s][0]))
+                    for s in range(len(batched))]
+            chunks.append(aggregate(outs, seg_idx)[0])
+            lab_chunks.append(labels)
+            ok_chunks.append(valid & ok)
+        cache_loader.close()
+        keep = np.flatnonzero(np.concatenate(ok_chunks))
+        cache = jnp.concatenate(chunks, axis=0)[jnp.asarray(keep)]
+        cache_labels = jnp.asarray(np.concatenate(lab_chunks)[keep])
+        n_cache = int(cache.shape[0])
+        logger.info(
+            f"[eval] feature cache: {n_cache} clips x {cache.shape[1]} tokens"
+            f" x {cache.shape[2]} dims ({cache.nbytes / 2**20:.0f} MiB)")
+
+        @jax.jit
+        def cached_probe_step(cls_params, opt, step, cache, cache_labels, idx):
+            feats = jnp.take(cache, idx, axis=0)
+            labels = jnp.take(cache_labels, idx, axis=0)
+            lr = lr_at_step(sched, step)
+            (loss, logits), grads = jax.value_and_grad(
+                cls_loss, has_aux=True)(cls_params, feats, labels)
+            grads, _ = clip_by_global_norm(grads, 1.0)
+            cls_params, opt = adamw_update(
+                grads, opt, cls_params, lr, jnp.asarray(cfg.weight_decay),
+                wd_mask(cls_params),
+            )
+            acc = jnp.mean(
+                (jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+            return cls_params, opt, {"loss": loss, "acc": acc, "lr": lr}
+
+        draw = np.random.default_rng([cfg.seed, 17])
+        bsz = min(global_batch, n_cache)
+        for epoch in range(start_epoch, cfg.num_epochs):
+            meter = AverageMeter()
+            for _ in range(ipe):
+                idx = jnp.asarray(
+                    draw.choice(n_cache, size=bsz, replace=False))
+                cls_params, opt, m = cached_probe_step(
+                    cls_params, opt, step, cache, cache_labels, idx)
+                step = step + 1
+                m = jax.device_get(m)
+                meter.update(float(m["acc"]) * 100)
+                csv_logger.log(
+                    epoch + 1, total, float(m["loss"]),
+                    float(m["acc"]) * 100, float(m["lr"]),
+                )
+                total += 1
+            if (epoch + 1) % max(1, cfg.num_epochs // 10) == 0:
+                logger.info(
+                    f"[eval-train {epoch + 1}] top1(train) {meter.avg:.2f}%")
+            summary["train_acc"] = meter.avg
+            if (epoch + 1) % 10 == 0 or epoch + 1 == cfg.num_epochs:
+                save_probe(epoch)
+            if max_steps is not None and total >= max_steps:
+                break
+    else:
+        # worker-pool + prefetch + retry-resample batch pipeline — the
+        # pretrain loader's machinery (a corrupt clip is resampled, not
+        # fatal; decode overlaps device steps). Reference: 8-12-worker eval
+        # DataLoaders, evals/video_classification_frozen/eval.py:447-493.
+        sampler = ShardedSampler(len(train_ds), local_batch, seed=cfg.seed)
+        train_loader = JepaLoader(
+            train_ds, sampler, num_workers=cfg.num_workers, collate=collate
+        )
+        for epoch in range(start_epoch, cfg.num_epochs):
+            train_loader.set_epoch(epoch)
+            meter = AverageMeter()
+            for batched, seg_idx, labels in train_loader:
+                outs = [encode(enc_params, put_batch(mesh, batched[s][0]))
+                        for s in range(len(batched))]
+                feats = aggregate(outs, seg_idx)[0]
+                cls_params, opt, m = train_step(
+                    cls_params, opt, step, feats, put_batch(mesh, labels)
+                )
+                step = step + 1
+                m = jax.device_get(m)
+                meter.update(float(m["acc"]) * 100)
+                csv_logger.log(
+                    epoch + 1, total, float(m["loss"]), float(m["acc"]) * 100,
+                    float(m["lr"]),
+                )
+                total += 1
+                if max_steps is not None and total >= max_steps:
+                    break
+            logger.info(f"[eval-train {epoch + 1}] top1(train) {meter.avg:.2f}%")
+            summary["train_acc"] = meter.avg
+            save_probe(epoch)
+            if max_steps is not None and total >= max_steps:
+                break
     ckpt.close()
 
     # validation: average softmax over segments x views
@@ -603,7 +705,8 @@ def run(cfg: VideoEvalConfig, max_steps: Optional[int] = None) -> dict:
         valid_g = put_batch(mesh, valid)
         correct += int(jax.device_get(count_correct(probs, labels_g, valid_g)))
         count += int(jax.device_get(count_valid(valid_g)))
-    train_loader.close()
+    if train_loader is not None:
+        train_loader.close()
     val_loader.close()
     top1 = 100.0 * correct / max(count, 1)
     logger.info(f"[eval] val top-1: {top1:.2f}%")

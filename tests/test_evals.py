@@ -51,6 +51,36 @@ def test_video_classification_per_segment_probe(tmp_path):
     assert np.isfinite(summary["val_top1"])
 
 
+def test_video_classification_cached_features(tmp_path):
+    """cache_features=True encodes each train clip once and runs the probe
+    at device speed; with a strong synthetic class signal the probe must
+    actually LEARN (train top-1 well above 33% chance), which the few-update
+    loader path cannot demonstrate this cheaply."""
+    cfg = VideoEvalConfig(
+        folder=str(tmp_path),
+        tag="cached",
+        num_classes=3,
+        frames_per_clip=4,
+        num_segments=2,
+        num_views_per_segment=1,
+        frame_step=2,
+        attend_across_segments=True,
+        num_epochs=60,
+        resolution=32,
+        batch_size=2,
+        use_bfloat16=False,
+        model_name="vit_tiny",
+        patch_size=16,
+        tubelet_size=2,
+        source="synthetic",
+        cache_features=True,
+    )
+    summary = run_video(cfg)
+    # learning, not plumbing: well past 33% chance on both splits
+    assert summary["train_acc"] > 50.0, summary
+    assert summary["val_top1"] > 45.0, summary
+
+
 def test_image_classification_synthetic(tmp_path):
     cfg = ImageEvalConfig(
         num_classes=4,

@@ -159,15 +159,27 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--ipe", type=int, default=20)
     ap.add_argument("--epochs", type=int, default=2)
-    ap.add_argument("--eval-epochs", type=int, default=10,
+    ap.add_argument("--eval-epochs", type=int, default=150,
                     help="attentive-probe epochs for the frozen eval stages "
-                    "(the probe is the learning-gap discriminator; 1 epoch "
-                    "underfits it on both the pretrained and control side)")
+                    "(the probe is the learning-gap discriminator). The "
+                    "evals run cache_features=True, so epochs after the "
+                    "one-time encode cost device-speed probe steps only — "
+                    "hundreds of epochs are the intended scale (50 total "
+                    "updates measurably underfits both arms)")
     ap.add_argument("--workers", type=int, default=2)
     ap.add_argument("--clip-size", type=int, default=160,
                     help="generated clip frame w=h (transforms resize)")
     ap.add_argument("--pred-depth", type=int, default=None)
     ap.add_argument("--pred-embed", type=int, default=None)
+    ap.add_argument("--reg-coeff", type=float, default=0.1,
+                    help="variance-regularizer weight for the chain's "
+                    "pretrain. The reference ships reg_coeff 0.0 and relies "
+                    "on 30k-video diversity to avoid representation "
+                    "collapse; at chain scale (tens of clips of regular "
+                    "media) JEPA collapses without it — measured round 5: "
+                    "a ViT-L chain at reg 0.0 probed at chance while its "
+                    "random-encoder control probed 40%. Same knob the "
+                    "reference exposes (app/avjepa/train.py:497-508).")
     ap.add_argument("--out-json", default=None,
                     help="also write the summary JSON to this path")
     ap.add_argument("--assert-learning", action="store_true",
@@ -214,6 +226,7 @@ def main():
             {"aspect_ratio": [0.75, 1.5], "num_blocks": 2,
              "spatial_scale": [0.7, 0.7], "temporal_scale": [1.0, 1.0]},
         ],
+        "loss": {"loss_exp": 1.0, "reg_coeff": args.reg_coeff},
         "meta": {"seed": 0, "dtype": "bfloat16"},
         "model": {"model_name": args.model, "pred_depth": pred_depth,
                   "pred_embed_dim": pred_embed, "uniform_power": True,
@@ -291,6 +304,11 @@ def main():
             "batch_size": args.batch,
             "attend_across_segments": True,
             "use_bfloat16": True,
+            # frozen encoder -> encode each train clip once, probe at device
+            # speed: the probe gets ipe*num_epochs real updates instead of
+            # being host-decode-bound (round 5: 50 loader-bound updates left
+            # the probe at chance on BOTH arms)
+            "cache_features": True,
         },
         "pretrain": {
             "model_name": args.model,
