@@ -70,26 +70,64 @@ def _shape_bytes(shape_str: str) -> int:
 def collective_profile(hlo_text: str) -> dict:
     """Bytes moved per collective kind, from optimized HLO text.
 
-    Returns per-kind {count, bytes} plus an `ops` list of every
-    instruction's (kind, bytes, shape) so the dominant movers are
-    attributable, not just summed.
+    LOOP-AWARE: a collective inside a while body (e.g. the per-layer
+    gradient all-reduce emitted inside the backward scan loop) executes
+    once per trip, so its bytes are multiplied by the loop's
+    ``known_trip_count`` (nested loops multiply). An earlier revision
+    counted static instruction bytes only, under-reporting the gradient
+    all-reduce 10x at ViT-L (24-trip encoder scan).
+
+    Returns per-kind {count, bytes} (bytes = per-step executed bytes) plus
+    an `ops` list of every instruction's (kind, bytes, trips, shape) so the
+    dominant movers are attributable, not just summed.
     """
+    comp_re = re.compile(r"^%?([\w.$-]+)\s*\(")
+    coll_re = re.compile(
+        r"^(?:ROOT )?[%\w.-]+ = (.+?) ("
+        + "|".join(_COLLECTIVES) + r")(?:-start|-done)?\(")
+    body_re = re.compile(r"body=%?([\w.$-]+)")
+    trip_re = re.compile(r'"known_trip_count":\{"n":"(\d+)"')
+
+    current = None
+    colls: list = []  # (comp, kind, bytes, shape)
+    body_of: dict[str, tuple[str, int]] = {}  # body comp -> (parent, trips)
+    for raw in hlo_text.splitlines():
+        line = raw.strip()
+        if raw and not raw.startswith(" ") and line.endswith("{") \
+                and "->" in line:
+            h = line[5:].strip() if line.startswith("ENTRY") else line
+            m = comp_re.match(h)
+            if m:
+                current = m.group(1)
+            continue
+        m = coll_re.match(line)
+        if m:
+            shape, kind = m.group(1), m.group(2)
+            if "-done" in line.split("(")[0]:
+                continue  # -done pairs with -start; count once
+            colls.append((current, kind, _shape_bytes(shape), shape))
+        if " while(" in line:
+            mb = body_re.search(line)
+            mt = trip_re.search(line)
+            if mb:
+                body_of[mb.group(1)] = (
+                    current, int(mt.group(1)) if mt else 1)
+
+    def multiplier(comp: str, _depth: int = 0) -> int:
+        if comp in body_of and _depth < 8:
+            parent, trips = body_of[comp]
+            return trips * multiplier(parent, _depth + 1)
+        return 1
+
     prof: dict[str, dict] = {}
     ops: list = []
-    for line in hlo_text.splitlines():
-        line = line.strip()
-        m = re.match(r"^(?:ROOT )?[%\w.-]+ = (.+?) (" +
-                     "|".join(_COLLECTIVES) + r")(?:-start|-done)?\(", line)
-        if not m:
-            continue
-        shape, kind = m.group(1), m.group(2)
-        if "-done" in line.split("(")[0]:
-            continue  # -done pairs with -start; count once
-        b = _shape_bytes(shape)
+    for comp, kind, b, shape in colls:
+        trips = multiplier(comp) if comp else 1
         ent = prof.setdefault(kind, {"count": 0, "bytes": 0})
-        ent["count"] += 1
-        ent["bytes"] += b
-        ops.append({"kind": kind, "bytes": b, "shape": shape[:200]})
+        ent["count"] += trips
+        ent["bytes"] += b * trips
+        ops.append({"kind": kind, "bytes": b * trips, "trips": trips,
+                    "shape": shape[:200]})
     ops.sort(key=lambda o: -o["bytes"])
     prof["ops"] = ops
     return prof
@@ -100,7 +138,30 @@ def main() -> dict:
     ap.add_argument("--model", default="vit_large")
     ap.add_argument("--batch", type=int, default=24, help="per-chip batch")
     ap.add_argument("--data", type=int, default=8)
+    ap.add_argument("--from-hlo", default=None,
+                    help="re-profile a saved optimized-HLO dump instead of "
+                    "recompiling (collective accounting only; the clean-SPMD "
+                    "assertion was made by the run that wrote the dump)")
     args = ap.parse_args()
+
+    if args.from_hlo:
+        with open(args.from_hlo) as f:
+            prof = collective_profile(f.read())
+        ops = prof.pop("ops", [])
+        N = args.data
+        ar = prof.get("all-reduce", {}).get("bytes", 0)
+        wire = 2 * ar * (N - 1) / N
+        out = {
+            "mesh": {"data": N}, "model": args.model,
+            "collectives": prof, "allreduce_bytes": ar,
+            "ring_wire_bytes_per_chip": wire,
+            "ici_projection": {"v5e_1axis_ms": wire / 100e9 * 1e3,
+                               "v5p_1axis_ms": wire / 200e9 * 1e3},
+            "top_collectives": ops[:12],
+            "hlo_dump": args.from_hlo,
+        }
+        print(json.dumps(out))
+        return out
 
     _ensure_virtual_cpu_mesh(args.data)
     import io
