@@ -19,7 +19,7 @@ bench: native
 chain: native
 	python tools/run_chain.py --model vit_large --crop 224 --frames 16 \
 		--batch 24 --clips 150 --clip-size 256 --ipe 50 --epochs 6 \
-		--eval-epochs 10 --workers 4 --assert-learning \
+		--eval-epochs 300 --workers 4 --assert-learning \
 		--out-json bench_artifacts/chain_flagship.json
 
 # tiny CI-scale chain (vit_tiny, CPU-runnable): same six stages + the

@@ -159,27 +159,30 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--ipe", type=int, default=20)
     ap.add_argument("--epochs", type=int, default=2)
-    ap.add_argument("--eval-epochs", type=int, default=150,
+    ap.add_argument("--eval-epochs", type=int, default=300,
                     help="attentive-probe epochs for the frozen eval stages "
                     "(the probe is the learning-gap discriminator). The "
                     "evals run cache_features=True, so epochs after the "
                     "one-time encode cost device-speed probe steps only — "
-                    "hundreds of epochs are the intended scale (50 total "
-                    "updates measurably underfits both arms)")
+                    "hundreds of epochs are the intended scale (measured "
+                    "round 5 at ViT-L: a 10-epoch loader-bound probe sat "
+                    "at chance on features a 300-epoch cached probe "
+                    "decodes at 100% val top-1)")
     ap.add_argument("--workers", type=int, default=2)
     ap.add_argument("--clip-size", type=int, default=160,
                     help="generated clip frame w=h (transforms resize)")
     ap.add_argument("--pred-depth", type=int, default=None)
     ap.add_argument("--pred-embed", type=int, default=None)
-    ap.add_argument("--reg-coeff", type=float, default=0.1,
+    ap.add_argument("--reg-coeff", type=float, default=0.0,
                     help="variance-regularizer weight for the chain's "
-                    "pretrain. The reference ships reg_coeff 0.0 and relies "
-                    "on 30k-video diversity to avoid representation "
-                    "collapse; at chain scale (tens of clips of regular "
-                    "media) JEPA collapses without it — measured round 5: "
-                    "a ViT-L chain at reg 0.0 probed at chance while its "
-                    "random-encoder control probed 40%. Same knob the "
-                    "reference exposes (app/avjepa/train.py:497-508).")
+                    "pretrain (same knob the reference exposes, "
+                    "app/avjepa/train.py:497-508; it ships 0.0). Round 5 "
+                    "first blamed 'collapse at reg 0.0' for a chance-level "
+                    "probe, but the encoder had NOT collapsed (input_var "
+                    "1.4-1.7 across pretrain; the same checkpoint probes "
+                    "100% val top-1 once the probe itself is trained to "
+                    "convergence via cache_features + hundreds of epochs) — "
+                    "so the default stays at the reference's 0.0.")
     ap.add_argument("--out-json", default=None,
                     help="also write the summary JSON to this path")
     ap.add_argument("--assert-learning", action="store_true",
