@@ -105,11 +105,92 @@ def class_av_content(label: int, rng: np.random.Generator, n_frames: int,
     return frames_u8, pcm.astype(np.float32), sr
 
 
-def make_media(workdir: str, n_clips: int, w: int, h: int, frames: int):
+def class_av_content_envelope(label: int, rng: np.random.Generator,
+                              n_frames: int, w: int, h: int,
+                              fps: float = 25.0, sr: int = 22050):
+    """Drift-balanced (second-order motion) class media.
+
+    The round-5 control measurement showed the first-order `class_av_content`
+    task is INVALID as a learning discriminator: an attentive probe is a
+    quadratic function of the tokens, first-order motion direction is a
+    quadratic statistic of the pixels (spatiotemporal motion energy), and a
+    random frozen ViT preserves pixels well enough that the control probe
+    hits 100% val top-1 even from 2 train clips per class. This task buries
+    the class signal one nonlinearity deeper (Chubb-Sperling drift-balanced
+    stimuli): a STATIC noise carrier is multiplied by a drifting CONTRAST
+    envelope. For every carrier realization the two first-order sidebands
+    carry equal energy in opposite directions, so no quadratic statistic of
+    the pixels sees the envelope's direction — extracting it needs
+    rectification first (4th order in pixels). A global camera-jitter random
+    walk adds classless first-order motion on top to poison motion-energy
+    shortcuts. JEPA pretraining, by contrast, must represent the envelope
+    phase trajectory to predict masked target features, making the class
+    signal linearly salient to the probe only AFTER learning:
+      class 0: envelope phase drifts +omega / frame; tone ~420 Hz
+      class 1: envelope phase drifts -omega / frame; tone ~950 Hz
+      class 2: envelope phase random-walks (+-omega steps); tone ~2100 Hz
+    Per-clip nuisance: carrier realization, envelope orientation (+-40 deg
+    of horizontal so the drift sign is well-defined), spatial frequency,
+    speed, modulation depth, jitter path, sensor noise.
+    """
+    jmax = 8  # camera-jitter bound, px at generation resolution
+    yy, xx = np.meshgrid(
+        np.arange(h, dtype=np.float32) / w,  # shared scale: cycles-per-width
+        np.arange(w, dtype=np.float32) / w,
+        indexing="ij",
+    )
+    theta = rng.uniform(-0.7, 0.7)  # envelope wavevector angle off +x
+    kf = rng.uniform(1.5, 2.5)      # envelope cycles across the width
+    kx = 2 * np.pi * kf * np.cos(theta)
+    ky = 2 * np.pi * kf * np.sin(theta)
+    omega = rng.uniform(0.35, 0.6)  # rad/frame of envelope phase
+    m = rng.uniform(0.7, 0.9)       # modulation depth
+    amp = rng.uniform(32, 44)       # carrier amplitude (gray levels)
+    phase0 = rng.uniform(0, 2 * np.pi)
+    # static noise carrier, lightly smoothed, oversized by the jitter bound
+    big = rng.normal(0, 1, (h + 2 * jmax, w + 2 * jmax)).astype(np.float32)
+    big = (big + np.roll(big, 1, 0) + np.roll(big, 1, 1)
+           + np.roll(big, (1, 1), (0, 1))) / 2.0
+    if label == 0:
+        dphi = np.full(n_frames, omega, np.float32)
+    elif label == 1:
+        dphi = np.full(n_frames, -omega, np.float32)
+    else:
+        dphi = (omega * rng.choice([-1.0, 1.0], n_frames)).astype(np.float32)
+    phases = phase0 + np.concatenate([[0.0], np.cumsum(dphi[:-1])])
+    # integer camera-jitter random walk, clamped to the oversize margin
+    steps = rng.integers(-3, 4, size=(n_frames, 2))
+    jit = np.clip(np.cumsum(steps, 0), -jmax, jmax) + jmax
+    frames_u8 = np.empty((n_frames, h, w, 3), np.uint8)
+    grating = kx * xx + ky * yy
+    for t in range(n_frames):
+        jy, jx = int(jit[t, 0]), int(jit[t, 1])
+        carrier = big[jy:jy + h, jx:jx + w]
+        env = 1.0 + m * np.cos(grating - phases[t])
+        img = 127.5 + amp * carrier * env
+        img = img[..., None] + rng.normal(0, 5, (h, w, 1))
+        frames_u8[t] = np.clip(img, 0, 255).astype(np.uint8)
+
+    n_samp = int(n_frames / fps * sr)
+    tt = np.arange(n_samp, dtype=np.float32) / sr
+    f0 = {0: 420.0, 1: 950.0, 2: 2100.0}[label] * rng.uniform(0.92, 1.08)
+    am = 1.0 + 0.3 * np.sin(2 * np.pi * rng.uniform(1.0, 3.0) * tt)
+    pcm = 0.4 * am * np.sin(2 * np.pi * f0 * tt + rng.uniform(0, 2 * np.pi))
+    pcm = pcm + rng.normal(0, 0.02, n_samp)
+    return frames_u8, pcm.astype(np.float32), sr
+
+
+def make_media(workdir: str, n_clips: int, w: int, h: int, frames: int,
+               task: str = "envelope"):
     """N class-separable AV clips + train/val CSVs (3 balanced classes)."""
     from avjepa_tpu.data.video_decoder import write_av_clip
 
-    d = os.path.join(workdir, "media")
+    gen = {"grating": class_av_content,
+           "envelope": class_av_content_envelope}[task]
+    # task-suffixed dir: generation is resumable per file, so tasks must
+    # never share a directory ("media" stays the legacy grating location)
+    d = os.path.join(workdir, "media" if task == "grating"
+                     else f"media_{task}")
     os.makedirs(d, exist_ok=True)
     paths, labels = [], []
     for i in range(n_clips):
@@ -117,9 +198,7 @@ def make_media(workdir: str, n_clips: int, w: int, h: int, frames: int):
         p = os.path.join(d, f"clip{i:04d}_c{label}.avi")
         if not os.path.exists(p):  # media generation is resumable
             rng = np.random.default_rng([20260819, i])
-            fr, pcm, sr = class_av_content(
-                label, rng, frames + (i % 5) * 8, w, h
-            )
+            fr, pcm, sr = gen(label, rng, frames + (i % 5) * 8, w, h)
             write_av_clip(p, fr, 25.0, pcm, sr)
         paths.append(p)
         labels.append(label)
@@ -183,6 +262,25 @@ def main():
                     "100% val top-1 once the probe itself is trained to "
                     "convergence via cache_features + hundreds of epochs) — "
                     "so the default stays at the reference's 0.0.")
+    ap.add_argument("--task", choices=["grating", "envelope"],
+                    default="envelope",
+                    help="class-media family. 'envelope' (default) is the "
+                    "drift-balanced second-order-motion task — the round-5 "
+                    "control measurement showed 'grating' (first-order "
+                    "drift) is decodable at 100%% val top-1 from a RANDOM "
+                    "frozen encoder (quadratic probe x quadratic signal), "
+                    "so it cannot discriminate learning")
+    ap.add_argument("--eval-shots", type=int, default=None,
+                    help="if set, the frozen-probe stages train on only N "
+                    "clips PER CLASS (balanced prefix of the train CSV; "
+                    "val unchanged). Low-shot probing raises the sample "
+                    "complexity bar for the random-encoder control arm "
+                    "(same protocol for both arms)")
+    ap.add_argument("--stages", default="all",
+                    help="comma list of stages to run: "
+                    "media,pretrain,roundtrip,eval,control,avpred,example,"
+                    "extract (default all). Later stages assume earlier "
+                    "ones' outputs exist in --workdir")
     ap.add_argument("--out-json", default=None,
                     help="also write the summary JSON to this path")
     ap.add_argument("--assert-learning", action="store_true",
@@ -194,15 +292,35 @@ def main():
     os.makedirs(wd, exist_ok=True)
     py = sys.executable
     timings, summary = {}, {}
+    all_stages = ["media", "pretrain", "roundtrip", "eval", "control",
+                  "avpred", "example", "extract"]
+    stages = set(all_stages) if args.stages == "all" else {
+        s.strip() for s in args.stages.split(",")}
+    unknown = stages - set(all_stages)
+    assert not unknown, f"unknown stages {sorted(unknown)}"
 
-    # -- 1. media ----------------------------------------------------------
+    # -- 1. media (always: cheap, idempotent, later stages need the CSVs) ---
     t0 = time.perf_counter()
     train_csv, val_csv = make_media(
-        wd, args.clips, args.clip_size, args.clip_size, max(32, 2 * args.frames)
+        wd, args.clips, args.clip_size, args.clip_size,
+        max(32, 2 * args.frames), task=args.task,
     )
     timings["media"] = time.perf_counter() - t0
-    print(f"[chain] media: {args.clips} real AV clips "
+    print(f"[chain] media: {args.clips} real AV clips, task={args.task} "
           f"({timings['media']:.1f}s)", flush=True)
+
+    probe_train_csv = train_csv
+    if args.eval_shots:
+        # labels are interleaved i%3 in the CSV, so a 3N-line prefix is a
+        # balanced N-per-class low-shot probe-train set
+        with open(train_csv) as f:
+            lines = f.readlines()
+        assert len(lines) >= 3 * args.eval_shots, "not enough train clips"
+        probe_train_csv = train_csv.replace(
+            ".csv", f"_{args.eval_shots}shot.csv")
+        with open(probe_train_csv, "w") as f:
+            f.writelines(lines[: 3 * args.eval_shots])
+        summary["eval_shots"] = args.eval_shots
 
     # -- 2. pretrain -------------------------------------------------------
     pred_depth = args.pred_depth or (12 if args.model == "vit_large" else 2)
@@ -241,50 +359,56 @@ def main():
     cfg_path = os.path.join(wd, "pretrain.yaml")
     with open(cfg_path, "w") as f:
         yaml.safe_dump(pretrain_cfg, f)
-    timings["pretrain"] = sh(
-        "pretrain", [py, "-m", "avjepa_tpu.app.main", "--fname", cfg_path], wd
-    )
     ckpt_dir = os.path.join(pre_folder, "chain-ckpt")
-    summary["pretrain_loss"] = last_csv_value(
-        os.path.join(pre_folder, "chain_r0.csv"), "loss"
-    )
+    if "pretrain" in stages:
+        timings["pretrain"] = sh(
+            "pretrain",
+            [py, "-m", "avjepa_tpu.app.main", "--fname", cfg_path], wd,
+        )
+    pre_csv = os.path.join(pre_folder, "chain_r0.csv")
+    if os.path.exists(pre_csv):
+        summary["pretrain_loss"] = last_csv_value(pre_csv, "loss")
 
     # -- 3. checkpoint roundtrip (ours -> .pth.tar -> ours) ----------------
-    pth = os.path.join(wd, "chain_export.pth.tar")
-    timings["export"] = sh("export", [
-        py, os.path.join(_REPO, "tools", "convert_reference_checkpoint.py"),
-        "--export", ckpt_dir, pth, "--ipe", str(args.ipe),
-    ], wd)
-    timings["reimport"] = sh("reimport", [
-        py, os.path.join(_REPO, "tools", "convert_reference_checkpoint.py"),
-        pth, cfg_path, "--out-folder", os.path.join(wd, "reimport"),
-        "--tag", "chain",
-    ], wd)
-    # bit-exact roundtrip check on the target encoder
-    from avjepa_tpu.evals.video_classification import _leaf_paths
-    from avjepa_tpu.utils.checkpoint import CheckpointManager
-    import jax
+    if "roundtrip" in stages:
+        pth = os.path.join(wd, "chain_export.pth.tar")
+        timings["export"] = sh("export", [
+            py,
+            os.path.join(_REPO, "tools", "convert_reference_checkpoint.py"),
+            "--export", ckpt_dir, pth, "--ipe", str(args.ipe),
+        ], wd)
+        timings["reimport"] = sh("reimport", [
+            py,
+            os.path.join(_REPO, "tools", "convert_reference_checkpoint.py"),
+            pth, cfg_path, "--out-folder", os.path.join(wd, "reimport"),
+            "--tag", "chain",
+        ], wd)
+        # bit-exact roundtrip check on the target encoder
+        from avjepa_tpu.evals.video_classification import _leaf_paths
+        from avjepa_tpu.utils.checkpoint import CheckpointManager
+        import jax
 
-    def _target_leaves(d):
-        m = CheckpointManager(d)
-        s = m.latest_step()
-        meta = m.mngr.item_metadata(s)
-        template = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), meta
-        )
-        out = _leaf_paths(m.restore(template, s)["target_params"])
-        m.close()
-        return out
+        def _target_leaves(d):
+            m = CheckpointManager(d)
+            s = m.latest_step()
+            meta = m.mngr.item_metadata(s)
+            template = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), meta
+            )
+            out = _leaf_paths(m.restore(template, s)["target_params"])
+            m.close()
+            return out
 
-    ours = _target_leaves(ckpt_dir)
-    back = _target_leaves(os.path.join(wd, "reimport", "chain-ckpt"))
-    assert set(ours) == set(back), "roundtrip changed the param set"
-    for k in ours:
-        np.testing.assert_array_equal(np.asarray(ours[k]), np.asarray(back[k]),
-                                      err_msg=f"roundtrip mismatch at {k}")
-    summary["roundtrip_leaves_exact"] = len(ours)
-    print(f"[chain] roundtrip: {len(ours)} target-encoder leaves bit-exact",
-          flush=True)
+        ours = _target_leaves(ckpt_dir)
+        back = _target_leaves(os.path.join(wd, "reimport", "chain-ckpt"))
+        assert set(ours) == set(back), "roundtrip changed the param set"
+        for k in ours:
+            np.testing.assert_array_equal(
+                np.asarray(ours[k]), np.asarray(back[k]),
+                err_msg=f"roundtrip mismatch at {k}")
+        summary["roundtrip_leaves_exact"] = len(ours)
+        print(f"[chain] roundtrip: {len(ours)} target-encoder leaves "
+              "bit-exact", flush=True)
 
     # -- 4. frozen video-classification eval on the pretrained ckpt --------
     eval_folder = os.path.join(wd, "video_eval")
@@ -292,7 +416,7 @@ def main():
         "eval_name": "video_classification_frozen",
         "tag": "chain-eval",
         "data": {
-            "dataset_train": train_csv,
+            "dataset_train": probe_train_csv,
             "dataset_val": val_csv,
             "num_classes": 3,
             "frames_per_clip": args.frames,
@@ -326,18 +450,21 @@ def main():
     eval_path = os.path.join(wd, "video_eval.yaml")
     with open(eval_path, "w") as f:
         yaml.safe_dump(eval_cfg, f)
-    timings["video_eval"] = sh(
-        "video_eval",
-        [py, "-m", "avjepa_tpu.app.eval_main", "--fname", eval_path], wd,
-    )
-    summary["eval_train_acc"] = last_csv_value(
-        os.path.join(eval_folder, "chain-eval_r0.csv"), "acc"
-    )
+    if "eval" in stages:
+        timings["video_eval"] = sh(
+            "video_eval",
+            [py, "-m", "avjepa_tpu.app.eval_main", "--fname", eval_path], wd,
+        )
+        summary["eval_train_acc"] = last_csv_value(
+            os.path.join(eval_folder, "chain-eval_r0.csv"), "acc"
+        )
     import re
 
     def _val_top1(stage):
-        ev_log = open(os.path.join(wd, "logs", f"{stage}.log")).read()
-        m = re.findall(r"val top-1: ([\d.]+)", ev_log)
+        log_path = os.path.join(wd, "logs", f"{stage}.log")
+        if not os.path.exists(log_path):
+            return None
+        m = re.findall(r"val top-1: ([\d.]+)", open(log_path).read())
         return float(m[-1]) if m else None
 
     summary["eval_val_top1_pretrained"] = _val_top1("video_eval")
@@ -360,10 +487,11 @@ def main():
     ctrl_path = os.path.join(wd, "video_eval_random.yaml")
     with open(ctrl_path, "w") as f:
         yaml.safe_dump(ctrl_cfg, f)
-    timings["video_eval_random"] = sh(
-        "video_eval_random",
-        [py, "-m", "avjepa_tpu.app.eval_main", "--fname", ctrl_path], wd,
-    )
+    if "control" in stages:
+        timings["video_eval_random"] = sh(
+            "video_eval_random",
+            [py, "-m", "avjepa_tpu.app.eval_main", "--fname", ctrl_path], wd,
+        )
     summary["eval_val_top1_random_encoder"] = _val_top1("video_eval_random")
 
     # -- 5. avprediction probe on the frozen pretrained JEPA ---------------
@@ -378,12 +506,14 @@ def main():
     ap_path = os.path.join(wd, "avpred.yaml")
     with open(ap_path, "w") as f:
         yaml.safe_dump(ap_cfg, f)
-    timings["avpred"] = sh(
-        "avpred", [py, "-m", "avjepa_tpu.app.main", "--fname", ap_path], wd
-    )
-    summary["avpred_loss"] = last_csv_value(
-        os.path.join(ap_folder, "chain_probe_r0.csv"), "loss"
-    )
+    if "avpred" in stages:
+        timings["avpred"] = sh(
+            "avpred",
+            [py, "-m", "avjepa_tpu.app.main", "--fname", ap_path], wd,
+        )
+        summary["avpred_loss"] = last_csv_value(
+            os.path.join(ap_folder, "chain_probe_r0.csv"), "loss"
+        )
 
     # -- 6. avprediction_example (reconstruction npz/PNG) -------------------
     ex_cfg = dict(ap_cfg)
@@ -391,15 +521,17 @@ def main():
     ex_path = os.path.join(wd, "example.yaml")
     with open(ex_path, "w") as f:
         yaml.safe_dump(ex_cfg, f)
-    timings["example"] = sh(
-        "example", [py, "-m", "avjepa_tpu.app.main", "--fname", ex_path], wd
-    )
-    npz = os.path.join(ap_folder, "avprediction_example.npz")
-    assert os.path.exists(npz), "example stage produced no npz"
-    summary["example_npz"] = npz
-    png = os.path.join(ap_folder, "avprediction_example.png")
-    if os.path.exists(png):
-        summary["example_png"] = png
+    if "example" in stages:
+        timings["example"] = sh(
+            "example",
+            [py, "-m", "avjepa_tpu.app.main", "--fname", ex_path], wd,
+        )
+        npz = os.path.join(ap_folder, "avprediction_example.npz")
+        assert os.path.exists(npz), "example stage produced no npz"
+        summary["example_npz"] = npz
+        png = os.path.join(ap_folder, "avprediction_example.png")
+        if os.path.exists(png):
+            summary["example_png"] = png
 
     # -- 7. extract: serve the pretrained encoder (embeddings + index) -----
     x_folder = os.path.join(wd, "extract")
@@ -415,19 +547,22 @@ def main():
     x_path = os.path.join(wd, "extract.yaml")
     with open(x_path, "w") as f:
         yaml.safe_dump(x_cfg, f)
-    timings["extract"] = sh(
-        "extract", [py, "-m", "avjepa_tpu.app.main", "--fname", x_path], wd
-    )
-    feats = np.load(
-        os.path.join(x_folder, "chain-features", "features_r0.npz")
-    )
-    assert len(feats["indices"]) == len(set(feats["indices"].tolist()))
-    summary["extract_rows"] = int(len(feats["indices"]))
-    summary["extract_dim"] = int(feats["embeddings"].shape[1])
+    if "extract" in stages:
+        timings["extract"] = sh(
+            "extract",
+            [py, "-m", "avjepa_tpu.app.main", "--fname", x_path], wd,
+        )
+        feats = np.load(
+            os.path.join(x_folder, "chain-features", "features_r0.npz")
+        )
+        assert len(feats["indices"]) == len(set(feats["indices"].tolist()))
+        summary["extract_rows"] = int(len(feats["indices"]))
+        summary["extract_dim"] = int(feats["embeddings"].shape[1])
 
     summary["timings_s"] = {k: round(v, 1) for k, v in timings.items()}
     summary["model"] = args.model
     summary["clips"] = args.clips
+    summary["task"] = args.task
 
     if args.out_json:
         with open(args.out_json, "w") as f:
