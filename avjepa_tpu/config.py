@@ -148,6 +148,15 @@ class TpuConfig:
     # 'exact' (erf, bit-matches torch nn.GELU default — XLA expands erf into a
     # long branchy f32 polynomial, measured ~100 ms/step on the ViT-L step)
     gelu: str = "tanh"
+    # sticky mask buckets: the collator's compact-token bucket sizes only
+    # ratchet upward (running max) instead of tracking each draw, so the
+    # fused step specializes a handful of times instead of once per distinct
+    # (K, Ku) pair. Identical numerics (padded tokens are key-masked out);
+    # steady-state throughput is ~15% lower from the extra padded compute
+    # (BENCH.md round 4: 25.4 vs 29.8 clips/s), so this is OFF by default and
+    # worth turning on only for short compile-dominated runs (e.g. the
+    # end-to-end chain on a cold compile cache).
+    sticky_mask_buckets: bool = False
     # hot-loop metrics cadence: True runs the diagnostic reductions (per-layer
     # grad norms, optimizer-moment means, input variance) only on log_freq
     # steps; False computes them every step like the reference

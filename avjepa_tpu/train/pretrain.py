@@ -290,6 +290,7 @@ def setup(cfg: ExperimentConfig, mesh=None) -> TrainHandles:
     collator = make_mask_collator(
         cfg.data.mask_type or cfg.tpu.mask_type, cfg.mask, layout,
         base_seed=cfg.meta.seed,
+        sticky_buckets=cfg.tpu.sticky_mask_buckets,
     )
     weights = None
     if cfg.data.datasets_weights is not None and hasattr(dataset, "sample_weights"):

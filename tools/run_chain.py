@@ -276,6 +276,12 @@ def main():
                     "val unchanged). Low-shot probing raises the sample "
                     "complexity bar for the random-encoder control arm "
                     "(same protocol for both arms)")
+    ap.add_argument("--sticky", action="store_true",
+                    help="set tpu.sticky_mask_buckets for the pretrain stage: "
+                    "bucket sizes ratchet instead of tracking each mask draw, "
+                    "so a cold compile cache pays ~2 step compiles instead of "
+                    "one per (K,Ku) pair. Identical numerics; ~15% slower "
+                    "steady-state steps — right for short chain runs only.")
     ap.add_argument("--stages", default="all",
                     help="comma list of stages to run: "
                     "media,pretrain,roundtrip,eval,control,avpred,example,"
@@ -354,7 +360,8 @@ def main():
                   "use_mask_tokens": True, "zero_init_mask_tokens": True},
         "optimization": {"ipe": args.ipe, "epochs": args.epochs, "warmup": 1},
         "logging": {"folder": pre_folder, "write_tag": "chain"},
-        "tpu": {"remat": True, "attn_impl": "flash"},
+        "tpu": {"remat": True, "attn_impl": "flash",
+                "sticky_mask_buckets": bool(args.sticky)},
     }
     cfg_path = os.path.join(wd, "pretrain.yaml")
     with open(cfg_path, "w") as f:
