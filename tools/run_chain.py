@@ -187,10 +187,13 @@ def make_media(workdir: str, n_clips: int, w: int, h: int, frames: int,
 
     gen = {"grating": class_av_content,
            "envelope": class_av_content_envelope}[task]
-    # task-suffixed dir: generation is resumable per file, so tasks must
-    # never share a directory ("media" stays the legacy grating location)
+    # task+geometry-suffixed dir: generation is resumable per file, so runs
+    # that differ in task OR clip geometry must never share a directory (a
+    # 160² CI run and a 256² flagship run in one workdir would otherwise
+    # silently mix resolutions via the exists-check). "media" stays the
+    # legacy grating location for warm round-3 workdirs.
     d = os.path.join(workdir, "media" if task == "grating"
-                     else f"media_{task}")
+                     else f"media_{task}_s{w}_f{frames}")
     os.makedirs(d, exist_ok=True)
     paths, labels = [], []
     for i in range(n_clips):
