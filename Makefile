@@ -18,8 +18,8 @@ bench: native
 # example PNG -> extract); flagship geometry — takes a real TPU chip.
 chain: native
 	python tools/run_chain.py --model vit_large --crop 224 --frames 16 \
-		--batch 24 --clips 150 --clip-size 256 --ipe 50 --epochs 6 \
-		--eval-epochs 300 --workers 4 --assert-learning \
+		--batch 24 --clips 150 --clip-size 256 --ipe 50 --epochs 4 \
+		--eval-epochs 300 --workers 4 --sticky --assert-learning \
 		--out-json bench_artifacts/chain_flagship.json
 
 # tiny CI-scale chain (vit_tiny, CPU-runnable): same six stages + the
@@ -28,6 +28,7 @@ chain: native
 # AVJEPA_RUN_CHAIN_CI=1 (it is a long test).
 chain-ci: native
 	python tools/run_chain.py --assert-learning \
+		--workdir /tmp/avjepa_chain_ci \
 		--out-json bench_artifacts/chain_ci.json
 
 clean:
